@@ -1,0 +1,64 @@
+"""Pallas fused dequant+matmul vs the XLA oracle.
+
+Mirrors the reference's dual-path verification strategy: the CGRA kernel was
+validated against the scalar CPU loop via the `.emax7nc` software emulation
+(SURVEY.md §4.3) — here interpret-mode Pallas vs dequant+einsum."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vsim_tpu.ops.matmul import q4_matmul
+from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul
+from vsim_tpu.quant.q4 import Q4Tensor
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _mk(O, K, seed):
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((O, K)) * 0.1).astype(np.float32)
+    return Q4Tensor.from_dense_np(w, scale_dtype=np.float32)
+
+
+@pytest.mark.parametrize(
+    "n,O,K",
+    [
+        (1, 256, 512),  # decode GEMV
+        (4, 512, 1024),  # small batch decode
+        (8, 256, 256),  # single k-tile
+        (3, 384, 1152),  # non-pow2 multiples of (128, 32)
+        (16, 1024, 2048),  # multi-tile both dims
+    ],
+)
+def test_pallas_matches_xla(n, O, K):
+    w = _mk(O, K, seed=O + K)
+    rng = np.random.default_rng(n)
+    x = jnp.asarray((rng.standard_normal((n, K)) * 0.5).astype(np.float32))
+    ref = q4_matmul(x, w, impl="xla")
+    got = pallas_q4_matmul(x, w, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_pallas_batched_lead_dims():
+    w = _mk(256, 512, seed=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal((2, 3, 512)) * 0.5).astype(np.float32))
+    ref = q4_matmul(x, w, impl="xla")
+    got = pallas_q4_matmul(x, w, interpret=INTERPRET)
+    assert got.shape == (2, 3, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_pallas_fp16_scales():
+    rng = np.random.default_rng(5)
+    w_dense = (rng.standard_normal((256, 512)) * 0.1).astype(np.float32)
+    w = Q4Tensor.from_dense_np(w_dense, scale_dtype=np.float16)
+    x = jnp.asarray((rng.standard_normal((2, 512)) * 0.5).astype(np.float32))
+    ref = q4_matmul(x, w, impl="xla")
+    got = pallas_q4_matmul(x, w, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)

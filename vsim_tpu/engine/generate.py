@@ -1,0 +1,250 @@
+"""Inference engine: jitted prefill + token-at-a-time decode.
+
+TPU-native counterpart of the reference decode loop (main_gptneox,
+vsim.cpp:802-897): batch prompt ingest (n_batch prefill), per-token eval,
+sampling, EOS stop, streaming token callbacks, and the --return_logits greedy
+parity mode (vsim.cpp:827-837, 1000-1010).
+
+Differences by design:
+  * prefill and decode are two jitted programs; the KV cache is donated so
+    XLA updates it in place instead of reallocating per step.
+  * sampling runs on-device (engine/sampling.py), so decode never ships the
+    full-vocab logits to the host (the reference partial-sorts 50K logits on
+    the host every token, utils.cpp:329 — a ranked hot loop in SURVEY.md §3.4).
+  * prompt lengths are bucketed to powers of two to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsim_tpu.engine.sampling import SamplingParams, sample_jax
+from vsim_tpu.models.config import ModelConfig
+from vsim_tpu.models.transformer import forward, init_cache
+from vsim_tpu import monitor
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    token_ids: List[int]  # generated tokens (prompt excluded)
+    prompt_ids: List[int]
+    logits: Optional[np.ndarray] = None  # [len(prompt), V] when return_logits
+    timings: Optional[dict] = None
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class InferenceEngine:
+    """Single-model inference engine over one jax device/mesh."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        *,
+        n_ctx: Optional[int] = None,
+        kv_dtype=None,
+        donate_cache: bool = True,
+        decode_chunk: int = 16,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.n_ctx = n_ctx or cfg.n_ctx
+        self.kv_dtype = jnp.dtype(kv_dtype or cfg.kv_dtype)
+        self.decode_chunk = decode_chunk
+
+        donate = (2,) if donate_cache else ()
+
+        @partial(jax.jit, donate_argnums=donate)
+        def _prefill(params, token_ids, cache, n_past):
+            logits, cache = forward(cfg, params, token_ids, cache, n_past)
+            return logits, cache
+
+        def _one_step(params, token, cache, n_past, last_tokens, key, sk):
+            logits, cache = forward(cfg, params, token[:, None], cache, n_past)
+            logits = logits[:, -1, :]
+            key, sub = jax.random.split(key)
+            next_tok = sample_jax(
+                logits, last_tokens, sub,
+                top_k=sk["top_k"], top_p=sk["top_p"],
+                temperature=sk["temperature"],
+                repeat_penalty=sk["repeat_penalty"], greedy=sk["greedy"],
+            )
+            # shift the repeat window
+            last_tokens = jnp.concatenate(
+                [last_tokens[:, 1:], next_tok[:, None]], axis=1
+            )
+            return next_tok, cache, last_tokens, key
+
+        @partial(jax.jit, donate_argnums=donate, static_argnames=_STEP_STATIC)
+        def _decode_step(
+            params, token, cache, n_past, last_tokens, key,
+            *, top_k, top_p, temperature, repeat_penalty, greedy,
+        ):
+            sk = dict(top_k=top_k, top_p=top_p, temperature=temperature,
+                      repeat_penalty=repeat_penalty, greedy=greedy)
+            return _one_step(params, token, cache, n_past, last_tokens, key, sk)
+
+        @partial(
+            jax.jit,
+            donate_argnums=donate,
+            static_argnames=_STEP_STATIC + ("n_steps",),
+        )
+        def _decode_many(
+            params, token, cache, n_past, last_tokens, key,
+            *, n_steps, top_k, top_p, temperature, repeat_penalty, greedy,
+        ):
+            """n_steps decode iterations fully on-device (lax.scan): one
+            dispatch, one host fetch per chunk instead of per token."""
+            sk = dict(top_k=top_k, top_p=top_p, temperature=temperature,
+                      repeat_penalty=repeat_penalty, greedy=greedy)
+
+            def body(carry, _):
+                token, cache, n_past, last_tokens, key = carry
+                token, cache, last_tokens, key = _one_step(
+                    params, token, cache, n_past, last_tokens, key, sk
+                )
+                return (token, cache, n_past + 1, last_tokens, key), token
+
+            n_past = jnp.asarray(n_past, jnp.int32)
+            (token, cache, _, last_tokens, key), toks = jax.lax.scan(
+                body, (token, cache, n_past, last_tokens, key), None,
+                length=n_steps,
+            )
+            return toks, cache, last_tokens, key  # toks: [n_steps, B]
+
+        self._prefill = _prefill
+        self._decode_step = _decode_step
+        self._decode_many = _decode_many
+
+    def new_cache(self, batch: int = 1):
+        return init_cache(self.cfg, batch, n_ctx=self.n_ctx, dtype=self.kv_dtype)
+
+    # -- generation --------------------------------------------------------
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        n_predict: int = 100,
+        sampling: Optional[SamplingParams] = None,
+        *,
+        stop_tokens: Sequence[int] = (),
+        streaming_token_hook: Optional[Callable[[int], None]] = None,
+        return_logits: bool = False,
+    ) -> GenerationResult:
+        """Generate tokens for one prompt (batch=1 path, reference CLI parity).
+
+        ``return_logits`` replicates --return_logits: greedy, returns the
+        full-vocab logits for every prompt position (vsim.cpp:827-873).
+        """
+        sp = sampling or SamplingParams()
+        prompt_ids = [int(t) for t in prompt_ids]
+        n_prompt = len(prompt_ids)
+        assert n_prompt >= 1, "empty prompt"
+        assert n_prompt + n_predict <= self.n_ctx, (
+            f"prompt({n_prompt}) + n_predict({n_predict}) exceeds n_ctx={self.n_ctx}"
+        )
+
+        t0 = time.perf_counter()
+        # ---- prefill (padded to bucket; pad slots masked by causality and
+        # overwritten by subsequent decode steps)
+        T = min(_bucket(n_prompt), self.n_ctx)
+        padded = prompt_ids + [0] * (T - n_prompt)
+        token_ids = jnp.asarray([padded], jnp.int32)
+        cache = self.new_cache(batch=1)
+        with monitor.span("prefill"):
+            logits, cache = self._prefill(self.params, token_ids, cache, 0)
+            logits.block_until_ready()
+        t_prefill = time.perf_counter()
+
+        if return_logits:
+            out = np.asarray(logits[0, :n_prompt, :], dtype=np.float32)
+            return GenerationResult(
+                token_ids=[], prompt_ids=prompt_ids, logits=out,
+                timings={"prefill_s": t_prefill - t0},
+            )
+
+        # ---- sampling state
+        seed = sp.seed if sp.seed >= 0 else int(time.time())
+        key = jax.random.PRNGKey(seed)
+        W = max(sp.repeat_last_n, 1)
+        window = np.full((1, W), -1, np.int32)
+        for t in prompt_ids[-W:]:
+            window = np.concatenate([window[:, 1:], [[t]]], axis=1)
+        last_tokens = jnp.asarray(window)
+
+        # first generated token comes from the prefill logits
+        key, sub = jax.random.split(key)
+        tok = sample_jax(
+            logits[:, n_prompt - 1, :], last_tokens, sub,
+            top_k=sp.top_k, top_p=sp.top_p, temperature=sp.temperature,
+            repeat_penalty=sp.repeat_penalty, greedy=sp.greedy,
+        )
+        last_tokens = jnp.concatenate([last_tokens[:, 1:], tok[:, None]], axis=1)
+
+        generated: List[int] = []
+        n_past = n_prompt
+        sample_kwargs = dict(
+            top_k=sp.top_k, top_p=sp.top_p, temperature=sp.temperature,
+            repeat_penalty=sp.repeat_penalty, greedy=sp.greedy,
+        )
+        stop = set(int(t) for t in stop_tokens)
+
+        def emit(tok_host: int) -> bool:
+            """Record one token; True → stop generation."""
+            generated.append(tok_host)
+            if streaming_token_hook is not None:
+                streaming_token_hook(tok_host)
+            return tok_host in stop
+
+        stopped = False
+        with monitor.span("decode"):
+            # first generated token came from the prefill logits
+            stopped = emit(int(tok[0]))
+            # remaining tokens decode in on-device chunks (one dispatch and
+            # one host fetch per chunk — per-token host syncs would bound
+            # throughput by host/device round-trip latency)
+            while not stopped and len(generated) < n_predict:
+                room = self.n_ctx - 1 - n_past
+                n_steps = min(self.decode_chunk, n_predict - len(generated), room)
+                if n_steps <= 0:
+                    break
+                toks, cache, last_tokens, key = self._decode_many(
+                    self.params, tok, cache, n_past, last_tokens, key,
+                    n_steps=n_steps, **sample_kwargs,
+                )
+                n_past += n_steps
+                tok = toks[-1]
+                for t in np.asarray(toks[:, 0]):
+                    stopped = emit(int(t))
+                    if stopped or len(generated) >= n_predict:
+                        break
+        t_done = time.perf_counter()
+
+        n_gen = len(generated)
+        timings = {
+            "prefill_s": t_prefill - t0,
+            "decode_s": t_done - t_prefill,
+            "tokens": n_gen,
+            "tokens_per_s": (n_gen - 1) / (t_done - t_prefill)
+            if n_gen > 1 and t_done > t_prefill
+            else float("nan"),
+        }
+        return GenerationResult(
+            token_ids=generated, prompt_ids=prompt_ids, timings=timings
+        )
+
+
+_STEP_STATIC = ("top_k", "top_p", "temperature", "repeat_penalty", "greedy")

@@ -1,0 +1,171 @@
+"""Parameter initialization: random models in our pytree layout.
+
+Used for tests, benchmarks (weights streamed at real size without a real
+checkpoint), and the training path.  Checkpoint loading lives in
+vsim_tpu/convert/.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from vsim_tpu.models.config import ModelConfig
+from vsim_tpu.quant.q4 import (  # noqa: F401
+    DEFAULT_SCALE_DTYPE,
+    QK,
+    Q4Tensor,
+    quantize_q4_0_np,
+)
+
+_WEIGHT_SHAPES = {
+    "wq": ("E", "E"), "wk": ("E", "E"), "wv": ("E", "E"), "wo": ("E", "E"),
+    "w_fc": ("F", "E"), "w_proj": ("E", "F"),
+}
+_VEC_SHAPES = {
+    "ln1_w": ("E",), "ln1_b": ("E",), "ln2_w": ("E",), "ln2_b": ("E",),
+    "bq": ("E",), "bk": ("E",), "bv": ("E",), "bo": ("E",),
+    "b_fc": ("F",), "b_proj": ("E",),
+}
+
+
+def _dims(cfg: ModelConfig) -> Dict[str, int]:
+    return {"E": cfg.n_embd, "F": cfg.n_ff, "V": cfg.n_vocab}
+
+
+def init_params(
+    cfg: ModelConfig,
+    seed: int = 0,
+    *,
+    quantize: bool = False,
+    scale_dtype=DEFAULT_SCALE_DTYPE,
+    param_dtype=jnp.float32,
+    std: float = 0.02,
+) -> Dict[str, Any]:
+    """Gaussian-init parameters (layer-stacked), optionally Q4_0-quantized.
+
+    Quantization is done layer-by-layer so peak host memory stays at one
+    un-stacked matrix.
+    """
+    rng = np.random.default_rng(seed)
+    dims = _dims(cfg)
+    L = cfg.n_layer
+
+    def w(shape_names):
+        shape = tuple(dims[s] for s in shape_names)
+        return (rng.standard_normal(shape) * std).astype(np.float32)
+
+    def wrap2d(mat):
+        if quantize and mat.shape[-1] % QK == 0:
+            p, s = quantize_q4_0_np(mat, scale_dtype=scale_dtype)
+            return np.ascontiguousarray(p.T), np.ascontiguousarray(s.T)  # K-major
+        return mat, None
+
+    layer_packed: Dict[str, list] = {k: [] for k in _WEIGHT_SHAPES}
+    layer_scales: Dict[str, list] = {k: [] for k in _WEIGHT_SHAPES}
+    layer_vecs: Dict[str, list] = {k: [] for k in _VEC_SHAPES}
+    for _ in range(L):
+        for k, sh in _WEIGHT_SHAPES.items():
+            p, s = wrap2d(w(sh))
+            layer_packed[k].append(p)
+            layer_scales[k].append(s)
+        for k, sh in _VEC_SHAPES.items():
+            base = np.ones if k.endswith("_w") or k == "ln2_w" else np.zeros
+            layer_vecs[k].append(
+                base(tuple(dims[s] for s in sh), dtype=np.float32)
+                if k.startswith("ln")
+                else w(sh)
+            )
+
+    layers: Dict[str, Any] = {}
+    for k in _WEIGHT_SHAPES:
+        stacked = np.stack(layer_packed[k])
+        if layer_scales[k][0] is not None:
+            layers[k] = Q4Tensor(
+                packed=jnp.asarray(stacked),
+                scales=jnp.asarray(np.stack(layer_scales[k])),
+            )
+        else:
+            layers[k] = jnp.asarray(stacked, dtype=param_dtype)
+    for k in _VEC_SHAPES:
+        layers[k] = jnp.asarray(np.stack(layer_vecs[k]), dtype=param_dtype)
+
+    def big(shape):
+        mat = (rng.standard_normal(shape) * std).astype(np.float32)
+        p, s = wrap2d(mat)
+        if s is not None:
+            return Q4Tensor(packed=jnp.asarray(p), scales=jnp.asarray(s))
+        return jnp.asarray(p, dtype=param_dtype)
+
+    params: Dict[str, Any] = {
+        "wte": big((cfg.n_vocab, cfg.n_embd)),
+        "layers": layers,
+        "ln_f_w": jnp.ones((cfg.n_embd,), param_dtype),
+        "ln_f_b": jnp.zeros((cfg.n_embd,), param_dtype),
+        "lm_head": big((cfg.n_vocab, cfg.n_embd)),
+    }
+    if cfg.learned_pos:
+        params["wpe"] = jnp.asarray(
+            (rng.standard_normal((cfg.n_ctx, cfg.n_embd)) * std).astype(np.float32),
+            dtype=param_dtype,
+        )
+    if cfg.arch == "bloom":
+        params["emb_ln_w"] = jnp.ones((cfg.n_embd,), param_dtype)
+        params["emb_ln_b"] = jnp.zeros((cfg.n_embd,), param_dtype)
+    if cfg.final_logit_bias:
+        params["lm_head_b"] = jnp.zeros((cfg.n_vocab,), param_dtype)
+    return params
+
+
+def random_q4_params(cfg: ModelConfig, seed: int = 0, scale_dtype=DEFAULT_SCALE_DTYPE):
+    """Benchmark-grade Q4 params: random *packed bytes* directly (no float
+    materialization/quantization pass — instant even at 6B scale; the memory
+    traffic is identical to a real checkpoint, which is what a decode
+    benchmark measures)."""
+    rng = np.random.default_rng(seed)
+    dims = _dims(cfg)
+    L = cfg.n_layer
+
+    def q4(shape_names, stacked=True):
+        O, K = (dims[s] for s in shape_names)
+        lead = (L,) if stacked else ()
+        packed = rng.integers(0, 256, size=(*lead, K // 2, O), dtype=np.uint8)
+        scales = (rng.random((*lead, K // QK, O), dtype=np.float32) * 0.01).astype(
+            scale_dtype
+        )
+        return Q4Tensor(packed=jnp.asarray(packed), scales=jnp.asarray(scales))
+
+    layers: Dict[str, Any] = {k: q4(sh) for k, sh in _WEIGHT_SHAPES.items()}
+    for k, sh in _VEC_SHAPES.items():
+        shape = (L, *(dims[s] for s in sh))
+        layers[k] = (
+            jnp.ones(shape, jnp.float32)
+            if k.startswith("ln") and k.endswith("_w")
+            else jnp.zeros(shape, jnp.float32)
+        )
+    params: Dict[str, Any] = {
+        "wte": q4(("V", "E"), stacked=False),
+        "layers": layers,
+        "ln_f_w": jnp.ones((cfg.n_embd,), jnp.float32),
+        "ln_f_b": jnp.zeros((cfg.n_embd,), jnp.float32),
+        "lm_head": q4(("V", "E"), stacked=False),
+    }
+    if cfg.learned_pos:
+        params["wpe"] = jnp.zeros((cfg.n_ctx, cfg.n_embd), jnp.float32)
+    if cfg.arch == "bloom":
+        params["emb_ln_w"] = jnp.ones((cfg.n_embd,), jnp.float32)
+        params["emb_ln_b"] = jnp.zeros((cfg.n_embd,), jnp.float32)
+    if cfg.final_logit_bias:
+        params["lm_head_b"] = jnp.zeros((cfg.n_vocab,), jnp.float32)
+    return params
+
+
+def param_bytes(params) -> int:
+    import jax
+
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -1,0 +1,242 @@
+"""Unified decoder forward pass for all four reference architectures.
+
+This replaces the reference's per-arch C++ graph builders (gptneox_eval,
+vsim.cpp:470-747, plus the GPT-J/BLOOM/GPT-2 drivers upstream Cformers had)
+with one functional, jit-traceable forward over a pytree of parameters.
+Layers are stacked along a leading axis and executed with ``lax.scan`` so a
+40-layer model traces once, not 40 times.
+
+Design deltas vs the reference (deliberate, SURVEY.md §5/§7):
+  * K is roped once at cache-insert time; the reference re-ropes the whole
+    cache every step (vsim.cpp:573-580).
+  * KV cache dtype is configurable (bf16 default in the engine); reference
+    uses f32 (vsim.cpp:349-366).
+  * attention runs as one batched einsum over the MXU instead of per-head
+    permute/mul_mat chains.
+
+Parameter pytree layout (all per-layer arrays stacked on axis 0):
+  params = {
+    "wte": Q4Tensor|[V,E],  "wpe": [n_ctx,E] (gpt2),
+    "emb_ln_w"/"emb_ln_b": [E] (bloom),
+    "layers": {"ln1_w","ln1_b","ln2_w","ln2_b": [L,E],
+               "wq","wk","wv","wo": Q4Tensor|[L,E,E],
+               "bq","bk","bv","bo": [L,E],
+               "w_fc": [L,F,E], "b_fc": [L,F],
+               "w_proj": [L,E,F], "b_proj": [L,E]},
+    "ln_f_w","ln_f_b": [E],
+    "lm_head": Q4Tensor|[V,E], "lm_head_b": [V] (gptj),
+  }
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vsim_tpu.models.config import ModelConfig
+from vsim_tpu.ops.layers import get_activation, layer_norm
+from vsim_tpu.ops.matmul import q4_matmul
+from vsim_tpu.ops.rope import apply_rope
+from vsim_tpu.parallel.context import constrain
+from vsim_tpu.quant.q4 import Q4Tensor, q4_take_rows
+
+Params = Dict[str, Any]
+
+
+def alibi_slopes(n_head: int) -> jnp.ndarray:
+    """ALiBi head slopes, HF BLOOM build_alibi_tensor semantics (reference:
+    ggml ALIBI op used by the BLOOM driver upstream, ggml.c:6184+)."""
+    cp2 = 2 ** math.floor(math.log2(n_head))
+    base = 2.0 ** (-(2.0 ** -(math.log2(cp2) - 3)))
+    slopes = [base ** i for i in range(1, cp2 + 1)]
+    if cp2 != n_head:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * cp2) - 3)))
+        slopes += [extra_base ** i for i in range(1, 2 * (n_head - cp2) + 1, 2)]
+    return jnp.asarray(slopes, dtype=jnp.float32)
+
+
+def _linear(x, w, b, compute_dtype):
+    y = q4_matmul(x, w, compute_dtype=compute_dtype)  # f32 accumulation
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(compute_dtype)
+
+
+def attention(
+    cfg: ModelConfig,
+    lp: Params,
+    h: jnp.ndarray,  # [B, T, E] (already layernormed)
+    k_cache: jnp.ndarray,  # [B, S, H, D]
+    v_cache: jnp.ndarray,
+    positions: jnp.ndarray,  # int32 [B, T]
+    n_past: jnp.ndarray,  # int32 scalar
+    slopes: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    B, T, E = h.shape
+    H, D = cfg.n_head, cfg.head_dim
+    cdt = h.dtype
+
+    q = _linear(h, lp["wq"], lp.get("bq"), cdt).reshape(B, T, H, D)
+    k = _linear(h, lp["wk"], lp.get("bk"), cdt).reshape(B, T, H, D)
+    v = _linear(h, lp["wv"], lp.get("bv"), cdt).reshape(B, T, H, D)
+    q = constrain(q, "batch", None, "heads", None)
+    k = constrain(k, "batch", None, "heads", None)
+    v = constrain(v, "batch", None, "heads", None)
+
+    if cfg.n_rot > 0:
+        q = apply_rope(q, positions, cfg.n_rot, interleaved=cfg.rotary_interleaved,
+                       base=cfg.rope_base)
+        k = apply_rope(k, positions, cfg.n_rot, interleaved=cfg.rotary_interleaved,
+                       base=cfg.rope_base)
+
+    if k_cache is not None:
+        kv_dtype = k_cache.dtype
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(kv_dtype), (0, n_past, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(kv_dtype), (0, n_past, 0, 0)
+        )
+        keys, values = k_cache, v_cache
+    else:  # cache-free mode (training / perplexity eval over full sequences)
+        keys, values = k, v
+    S = keys.shape[1]
+
+    scale = 1.0 / math.sqrt(D)
+    scores = jnp.einsum(
+        "bthd,bshd->bhts",
+        q.astype(jnp.float32),
+        keys.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    if slopes is not None:  # ALiBi (BLOOM): scores += slope_h * s
+        s_idx = jnp.arange(S, dtype=jnp.float32)
+        scores = scores + slopes[None, :, None, None] * s_idx[None, None, None, :]
+
+    # causal mask over the cache: key slot s visible iff s <= n_past + t
+    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]
+    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
+    mask = s_idx <= (n_past + t_idx)  # [T, S]
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    scores = jnp.where(mask[None, None, :, :], scores, neg)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum(
+        "bhts,bshd->bthd",
+        probs,
+        values.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt)
+    ctx = ctx.reshape(B, T, E)
+    out = _linear(ctx, lp["wo"], lp.get("bo"), cdt)
+    out = constrain(out, "batch", None, "embed")
+    return out, k_cache, v_cache
+
+
+def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
+    act = get_activation(cfg.activation)
+    y = _linear(h, lp["w_fc"], lp.get("b_fc"), h.dtype)
+    y = constrain(y, "batch", None, "ffn")
+    y = act(y.astype(jnp.float32)).astype(h.dtype)
+    y = _linear(y, lp["w_proj"], lp.get("b_proj"), h.dtype)
+    return constrain(y, "batch", None, "embed")
+
+
+def decoder_layer(
+    cfg: ModelConfig,
+    lp: Params,
+    x: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    positions: jnp.ndarray,
+    n_past: jnp.ndarray,
+    slopes: Optional[jnp.ndarray],
+):
+    """One decoder block.  Residual topology per arch (vsim.cpp:627-708 for
+    NeoX parallel/sequential; GPT-J shares one LN; BLOOM/GPT-2 sequential)."""
+    h1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+    attn_out, k_cache, v_cache = attention(
+        cfg, lp, h1, k_cache, v_cache, positions, n_past, slopes
+    )
+
+    if cfg.parallel_residual:
+        if cfg.shared_layernorm:  # GPT-J: MLP reads the same LN output
+            h2 = h1
+        else:  # NeoX: separate post_attention_layernorm on the *input*
+            h2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        x = x + attn_out + mlp(cfg, lp, h2)
+    else:
+        x = x + attn_out
+        h2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        x = x + mlp(cfg, lp, h2)
+    return x, k_cache, v_cache
+
+
+def embed(cfg: ModelConfig, params: Params, token_ids: jnp.ndarray, dtype):
+    wte = params["wte"]
+    if isinstance(wte, Q4Tensor):
+        x = q4_take_rows(wte, token_ids, dtype=dtype)
+    else:
+        x = jnp.take(wte, token_ids, axis=0).astype(dtype)
+    return x
+
+
+def forward(
+    cfg: ModelConfig,
+    params: Params,
+    token_ids: jnp.ndarray,  # int32 [B, T]
+    cache: Optional[Dict[str, jnp.ndarray]],  # {"k","v": [L, B, S, H, D]} | None
+    n_past: jnp.ndarray = 0,  # int32 scalar
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """Full forward: token ids → logits [B, T, n_vocab] + updated KV cache.
+
+    ``cache=None`` runs cache-free (training / whole-sequence perplexity)."""
+    cdt = jnp.dtype(cfg.compute_dtype)
+    B, T = token_ids.shape
+    n_past = jnp.asarray(n_past, jnp.int32)
+    positions = n_past + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+    positions = jnp.broadcast_to(positions, (B, T))
+
+    x = embed(cfg, params, token_ids, cdt)
+    if cfg.learned_pos:
+        x = x + jnp.take(params["wpe"], positions, axis=0).astype(cdt)
+    if "emb_ln_w" in params:  # BLOOM word_embeddings_layernorm
+        x = layer_norm(x, params["emb_ln_w"], params["emb_ln_b"], cfg.ln_eps)
+    x = constrain(x, "batch", None, "embed")
+
+    slopes = alibi_slopes(cfg.n_head) if cfg.alibi else None
+
+    def body(carry, per_layer):
+        x = carry
+        lp, k_l, v_l = per_layer
+        x, k_l, v_l = decoder_layer(cfg, lp, x, k_l, v_l, positions, n_past, slopes)
+        return x, (k_l, v_l)
+
+    if cache is not None:
+        xs = (params["layers"], cache["k"], cache["v"])
+    else:
+        xs = (params["layers"], None, None)
+    x, (k_new, v_new) = jax.lax.scan(body, x, xs, length=cfg.n_layer)
+
+    x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
+    logits = q4_matmul(x, params["lm_head"], compute_dtype=cdt)
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(logits.dtype)
+    logits = constrain(logits, "batch", None, "vocab")
+    new_cache = None if cache is None else {"k": k_new, "v": v_new}
+    return logits.astype(jnp.float32), new_cache
+
+
+def init_cache(
+    cfg: ModelConfig, batch: int, n_ctx: Optional[int] = None, dtype=None
+) -> Dict[str, jnp.ndarray]:
+    """Preallocated KV cache (reference: memory_k/v, vsim.cpp:349-366 — but
+    [L,B,S,H,D] and configurable dtype instead of flat f32)."""
+    S = n_ctx or cfg.n_ctx
+    dt = jnp.dtype(dtype or cfg.kv_dtype)
+    shape = (cfg.n_layer, batch, S, cfg.n_head, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}

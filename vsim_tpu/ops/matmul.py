@@ -1,0 +1,111 @@
+"""Quantized matmul — TPU-native replacement for the reference's hot path.
+
+The reference routes every Q4_0 matmul through
+``ggml_compute_forward_mul_mat_q4_0_f32`` (ggml.c:4891-5165), which either
+runs a per-row scalar/CGRA dot (imax.c:1133-2292) or a dequantize-to-f32 +
+BLAS GEMM fast path for batched prefill (ggml.c:4957-5022).
+
+Here the same split becomes:
+  * ``impl='xla'``    — dequantize + jnp.einsum; XLA tiles it onto the MXU.
+    This is the correctness oracle (the reference's "scalar fallback" role)
+    and the prefill path (compute-bound, dequant amortized over the batch).
+  * ``impl='pallas'`` — fused dequant+matmul Pallas kernel; weights stay Q4
+    in HBM and are dequantized in VMEM.  The decode (GEMV) path, where HBM
+    bandwidth on the weight bytes is the wall.  See vsim_tpu/ops/pallas_q4.py.
+
+``q4_matmul(x, w)`` computes ``x @ dequant(w).T`` for ``w`` logical [O, K],
+``x`` [..., K] → [..., O], i.e. the reference's ``ggml_mul_mat(w, x)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from vsim_tpu.quant.q4 import QK, Q4Tensor, dequantize_km, fake_quantize
+
+Weight = Union[Q4Tensor, jnp.ndarray]
+
+# Toggled by vsim_tpu.config; 'auto' picks pallas for decode-shaped GEMVs on TPU.
+_DEFAULT_IMPL = "auto"
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "pallas")
+    _DEFAULT_IMPL = impl
+
+
+def get_default_impl() -> str:
+    return _DEFAULT_IMPL
+
+
+def _xla_q4_matmul(x: jnp.ndarray, w: Q4Tensor, compute_dtype) -> jnp.ndarray:
+    wd = dequantize_km(w, dtype=compute_dtype)  # [K, O], no transpose needed
+    return jnp.einsum(
+        "...k,ko->...o",
+        x.astype(compute_dtype),
+        wd,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _use_pallas(x: jnp.ndarray, w: Q4Tensor) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if w.scales.dtype == jnp.float16:
+        return False  # f16 is not representable in Mosaic; XLA path serves it
+    O, K = w.shape
+    # MXU/VPU-aligned shapes only; fall back to XLA otherwise.
+    if K % 256 != 0 or O % 256 != 0:
+        return False
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    return rows <= 128
+
+
+def q4_matmul(
+    x: jnp.ndarray,
+    w: Weight,
+    *,
+    impl: Optional[str] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """``x [..., K] @ w.T`` with ``w`` either a Q4Tensor [O, K] or dense [O, K].
+
+    Dense weights take the plain XLA GEMM (used by the fp16/bf16 model variant
+    and by training); quantized weights dispatch per ``impl``.
+    """
+    if not isinstance(w, Q4Tensor):
+        return jnp.einsum(
+            "...k,ok->...o",
+            x.astype(compute_dtype),
+            w.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    impl = impl or _DEFAULT_IMPL
+    if impl == "auto":
+        impl = "pallas" if _use_pallas(x, w) else "xla"
+    if impl == "pallas":
+        from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul
+
+        return pallas_q4_matmul(x, w)
+    return _xla_q4_matmul(x, w, compute_dtype)
+
+
+def q4_matmul_act_quant(
+    x: jnp.ndarray, w: Weight, *, compute_dtype=jnp.float32
+) -> jnp.ndarray:
+    """Reference-parity mode: also quantize the activations to Q4_0 before the
+    dot, as the reference does in the matmul INIT phase (ggml.c:5030-5038) —
+    both operands are then dequantized inside ggml_vec_dot_q4_0
+    (ggml.c:472-511).  Used for perplexity/logits parity at matched bit-width.
+    """
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    xq = fake_quantize(x.reshape(-1, K)).reshape(*lead, K)
+    return q4_matmul(xq, w, impl="xla", compute_dtype=compute_dtype)

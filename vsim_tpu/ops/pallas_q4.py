@@ -1,0 +1,172 @@
+"""Pallas fused dequant+matmul — the reference's IMAX offload kernel reborn.
+
+Reference (imax.c:1133-2292): the Q4 dot is staged onto the CGRA as
+LOOP1(cols) × LOOP0(blocks) pipelines of FML3/FMA/FAD intrinsics with the
+weight cpyin'd to device LMM and an LMM-capacity CPU fallback
+(imax.c:2103-2138).  TPU mapping (SURVEY.md N8 row):
+
+  LMM              → VMEM tiles (BlockSpec-managed, double-buffered by Pallas)
+  xmax_cpyin/out   → implicit HBM→VMEM pipeline of the grid
+  lane macro-pipe  → grid pipelining
+  LMM-overflow CPU fallback → K-blocked grid (never overflows, no fallback)
+  FML3 int4-index dequant   → nibble unpack + scale multiply on the VPU
+  FAD reduction tree        → MXU dot accumulation
+
+Layout contract (vsim_tpu/quant/q4.py): weights are K-major —
+``packed [K/2, O]`` uint8 (byte c = elements 2c|2c+1), ``scales [K/32, O]``.
+The kernel never transposes: activations arrive pre-deinterleaved as
+``x_even = x[:, 0::2]`` and ``x_odd = x[:, 1::2]`` (a cheap XLA slice on the
+small operand), so
+
+    y = x @ W^T = x_even @ deq(lo_plane) + x_odd @ deq(hi_plane)
+
+with both dots in natural [N, K/2] @ [K/2, O] MXU form, and the per-block
+scales expanding along sublanes with a broadcast-reshape (no lane shuffles).
+
+Weight bytes read per output tile ≈ 4.5 bits/element — the speed-of-light
+target for HBM-bound decode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vsim_tpu.quant.q4 import QK, Q4Tensor
+
+
+def _kernel(xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype):
+    """One (o_tile, k_tile) grid step: dequantize a [TKh, TO] packed tile and
+    accumulate two half-K dots into the output tile."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:].astype(jnp.int32)  # [TKh, TO] bytes
+    lo = (p & 0x0F) - 8  # elements k = 2c   (low nibble)
+    hi = (p >> 4) - 8  # elements k = 2c+1 (high nibble)
+
+    s = s_ref[:].astype(jnp.float32)  # [TKh//16, TO] per-block scales
+    nb, to = s.shape
+    tkh = p.shape[0]
+    # each Q4 block covers 16 consecutive rows of each nibble plane
+    sexp = jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
+
+    wlo = (lo.astype(jnp.float32) * sexp).astype(acc_dtype)
+    whi = (hi.astype(jnp.float32) * sexp).astype(acc_dtype)
+
+    acc = jnp.dot(xe_ref[:].astype(acc_dtype), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:].astype(acc_dtype), whi,
+                   preferred_element_type=jnp.float32)
+    o_ref[:] += acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret"),
+)
+def _pallas_q4_matmul_2d(
+    xe: jnp.ndarray,  # [N, K/2]
+    xo: jnp.ndarray,  # [N, K/2]
+    packed: jnp.ndarray,  # [K/2, O] uint8
+    scales: jnp.ndarray,  # [K/32, O]
+    *,
+    block_o: int,
+    block_kh: int,
+    acc_dtype,
+    interpret: bool,
+) -> jnp.ndarray:
+    N, half_k = xe.shape
+    O = packed.shape[1]
+    nb_per_tile = block_kh // (QK // 2)
+
+    grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, acc_dtype=acc_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, block_kh), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, block_kh), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_per_tile, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, block_o), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * half_k * 2 * O,
+            bytes_accessed=packed.size + scales.size * scales.dtype.itemsize
+            + xe.size * 4 * 2 * grid[0] + N * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, packed, scales)
+    return out
+
+
+def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
+    """VMEM-budget tile sizes.  Packed tile = block_kh × block_o bytes;
+    keep ≲ 1 MB with double buffering, lanes multiple of 128, sublanes
+    multiple of 32 (uint8 tiling) and of 16 blocks (scale alignment)."""
+    block_o = min(O, 512)
+    while O % block_o:
+        block_o //= 2
+    block_kh = min(half_k, 2048)
+    while half_k % block_kh:
+        block_kh //= 2
+    # shrink to fit ~2MB packed tile
+    while block_kh * block_o > 2 * 1024 * 1024 and block_kh > 256:
+        block_kh //= 2
+    return block_o, block_kh
+
+
+def pallas_q4_matmul(
+    x: jnp.ndarray,
+    w: Q4Tensor,
+    *,
+    acc_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``x [..., K] @ w.T → [..., O]`` with w Q4_0, fused dequant in VMEM."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    O = w.out_features
+    assert w.in_features == K, (w.shape, x.shape)
+
+    n = 1
+    for d in lead:
+        n *= d
+    x2 = x.reshape(n, K)
+    xe = x2[:, 0::2]
+    xo = x2[:, 1::2]
+
+    # pad row count to the f32 sublane tile
+    n_pad = max(8, -(-n // 8) * 8)
+    if n_pad != n:
+        pad = jnp.zeros((n_pad - n, K // 2), x2.dtype)
+        xe = jnp.concatenate([xe, pad], axis=0)
+        xo = jnp.concatenate([xo, pad], axis=0)
+
+    block_o, block_kh = _pick_blocks(K // 2, O, n_pad)
+    y = _pallas_q4_matmul_2d(
+        xe, xo, w.packed, w.scales,
+        block_o=block_o, block_kh=block_kh,
+        acc_dtype=acc_dtype, interpret=interpret,
+    )
+    return y[:n].reshape(*lead, O)
