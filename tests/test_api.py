@@ -1,0 +1,83 @@
+"""AutoInference host API surface (reference interface.py:145-283 parity)."""
+
+import numpy as np
+import pytest
+
+from vsim_tpu.api.interface import MAP_MODEL_TO_URL, AutoInference
+
+from test_model_parity import _hf_model
+
+
+class DummyTokenizer:
+    def encode(self, text):
+        return [1 + (ord(c) % 90) for c in text][:8]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def ai():
+    model = _hf_model("gptneox")
+    return AutoInference(
+        "test/tiny-neox", hf_model=model, tokenizer=DummyTokenizer(), n_ctx=64
+    )
+
+
+def test_registry_covers_reference_models():
+    # the 14 models registered by the reference (interface.py:92-143)
+    assert len(MAP_MODEL_TO_URL) == 14
+    archs = {e.cpp_model_name for e in MAP_MODEL_TO_URL.values()}
+    assert archs == {"gptneox", "gptj", "bloom", "gpt2"}
+    assert MAP_MODEL_TO_URL[
+        "OpenAssistant/oasst-sft-1-pythia-12b"].get_modes() == [
+        "int4_fixed_zero"]
+
+
+def test_generate_result_shape(ai):
+    out = ai.generate("hello", num_tokens_to_generate=5, greedy=True,
+                      stop_tokens=())
+    assert out["success"] is True
+    assert len(out["generated_token_ids"]) == 5
+    assert out["token_ids"][: len(out["token_ids"]) - 5] == ai.tokenizer.encode(
+        "hello")
+    assert isinstance(out["token_str"], str)
+
+
+def test_streaming_hooks(ai):
+    ids_seen, strs_seen = [], []
+    out = ai.generate(
+        [1, 2, 3], num_tokens_to_generate=4, greedy=True, stop_tokens=(),
+        streaming_token_ids_hook=ids_seen.append,
+        streaming_token_str_hook=strs_seen.append,
+    )
+    assert ids_seen == out["generated_token_ids"]
+    assert len(strs_seen) == 4
+
+
+def test_return_logits_protocol(ai):
+    lg = ai.return_logits([1, 2, 3, 4, 5])
+    assert lg.shape == (5, ai.config.n_vocab)
+    # greedy chain consistency with generate()
+    out = ai.generate([1, 2, 3, 4, 5], num_tokens_to_generate=1, greedy=True,
+                      stop_tokens=())
+    assert out["generated_token_ids"][0] == int(np.argmax(lg[-1]))
+
+
+def test_seeded_generation_reproducible(ai):
+    a = ai.generate([5, 6, 7], num_tokens_to_generate=8, seed=42,
+                    stop_tokens=())
+    b = ai.generate([5, 6, 7], num_tokens_to_generate=8, seed=42,
+                    stop_tokens=())
+    assert a["token_ids"] == b["token_ids"]
+
+
+def test_eos_stops_generation(ai):
+    out = ai.generate([1, 2, 3], num_tokens_to_generate=30, greedy=True,
+                      stop_tokens=range(96))
+    assert len(out["generated_token_ids"]) == 1
+
+
+def test_unknown_model_rejected():
+    with pytest.raises(ValueError, match="unknown model"):
+        AutoInference("not/a-model")

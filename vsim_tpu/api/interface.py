@@ -1,0 +1,265 @@
+"""AutoInference — the user-facing host API (reference: cformers/interface.py).
+
+Same surface as the reference (interface.py:145-283) but fully in-process:
+no subprocess, no ``<|BEGIN> ... <END|>`` stdout protocol — the engine is a
+jitted JAX program and the streaming hooks are plain callbacks.
+
+    ai = AutoInference("OpenAssistant/oasst-sft-1-pythia-12b")
+    out = ai.generate("Hello", num_tokens_to_generate=100, top_k=20,
+                      top_p=0.95, temperature=0.85, seed=42,
+                      streaming_token_str_hook=print)
+    out["token_str"]
+
+Model sources, in priority order:
+  1. ``model_path=`` — a vsim_tpu checkpoint dir or a reference ggml .bin
+  2. the local download cache (``$VSIM_TPU_CACHE_PATH``, default
+     ``~/.cformers`` for drop-in compatibility with the reference cache,
+     interface.py:16-19)
+  3. the registry URL (downloads the reference's published int4_fixed_zero
+     artifacts when the environment has network; sha256-verified like
+     interface.py:21-47)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Union
+
+CACHE_PATH = os.environ.get(
+    "VSIM_TPU_CACHE_PATH",
+    os.environ.get("CFORMERS_CACHE_PATH",
+                   os.path.join(os.path.expanduser("~"), ".cformers")),
+)
+
+
+@dataclasses.dataclass
+class ModelUrlMap:
+    """Registry entry (reference: interface.py:49-89)."""
+
+    cpp_model_name: str  # arch: gptneox | gptj | bloom | gpt2
+    int4_fixed_zero: str = ""
+    sha256: str = ""
+
+    def get_url(self, mode: str) -> str:
+        if mode != "int4_fixed_zero" or not self.int4_fixed_zero:
+            raise ValueError(
+                f"mode {mode!r} not available; modes: {self.get_modes()}")
+        return self.int4_fixed_zero
+
+    def get_modes(self) -> List[str]:
+        return ["int4_fixed_zero"] if self.int4_fixed_zero else []
+
+
+# the 13 models the reference registers (interface.py:92-143)
+MAP_MODEL_TO_URL: Dict[str, ModelUrlMap] = {
+    "EleutherAI/gpt-j-6B": ModelUrlMap(
+        "gptj",
+        "https://huggingface.co/ayushk4/EleutherAI-.-gpt-j-6B/resolve/main/int4_fixed_zero.bin"),
+    "Salesforce/codegen-350M-mono": ModelUrlMap(
+        "gptj",
+        "https://huggingface.co/jncraton/Salesforce-.-codegen-350M-mono/resolve/main/int4_fixed_zero.bin"),
+    "Salesforce/codegen-2B-mono": ModelUrlMap(
+        "gptj",
+        "https://huggingface.co/ayushk4/Salesforce-.-codegen-2B-mono/resolve/main/int4-fixed-zero.bin"),
+    "Salesforce/codegen-6B-mono": ModelUrlMap(
+        "gptj",
+        "https://huggingface.co/ayushk4/Salesforce-.-codegen-6B-mono/resolve/main/int4-fixed-zero.bin"),
+    "Salesforce/codegen-16B-mono": ModelUrlMap(
+        "gptj",
+        "https://huggingface.co/kamalojasv/Salesforce-.-codegen-16B-mono/resolve/main/int4-fixed-zero"),
+    "bigscience/bloom-560m": ModelUrlMap(
+        "bloom",
+        "https://huggingface.co/tejasvaidhya/bloom-560m-4bit-quant.bin/resolve/main/int4_fixed_zero.bin"),
+    "bigscience/bloom-1b1": ModelUrlMap(
+        "bloom",
+        "https://huggingface.co/tejasvaidhya/bloom-1b1-4bit-quant.bin/resolve/main/int4_fixed_zero.bin"),
+    "bigscience/bloom-1b7": ModelUrlMap(
+        "bloom",
+        "https://huggingface.co/tejasvaidhya/bloom-1b7-4bit-quant.bin/resolve/main/int4_fixed_zero.bin"),
+    "bigscience/bloom-3b": ModelUrlMap(
+        "bloom",
+        "https://huggingface.co/tejasvaidhya/bloom-3b-4bit-quant.bin/resolve/main/int4_fixed_zero.bin"),
+    "bigscience/bloom-7b1": ModelUrlMap(
+        "bloom",
+        "https://huggingface.co/ayushk4/bigscience-.-bloom-7b1/resolve/main/int4_fixed_zero.bin"),
+    "gpt2": ModelUrlMap(
+        "gpt2",
+        "https://huggingface.co/kamalojasv/gpt2/resolve/main/int4_fixed_zero"),
+    "togethercomputer/GPT-NeoXT-Chat-Base-20B": ModelUrlMap(
+        "gptneox",
+        "https://huggingface.co/Black-Engineer/OpenChatKit_q4/resolve/main/int4_fixed_zero"),
+    "OpenAssistant/oasst-sft-1-pythia-12b": ModelUrlMap(
+        "gptneox",
+        "https://huggingface.co/ayushk4/OpenAssistant-.-oasst-sft-1-pythia-12b/resolve/main/int4_fixed_zero.bin"),
+    "stabilityai/stablelm-tuned-alpha-7b": ModelUrlMap(
+        "gptneox",
+        "https://huggingface.co/cakewalk/ggml-q4_0-stablelm-tuned-alpha-7b/resolve/main/ggml-model-stablelm-tuned-alpha-7b-q4_0.bin"),
+}
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _download(url: str, dest: str) -> None:
+    import urllib.request
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    print(f"downloading {url} → {dest}")
+    urllib.request.urlretrieve(url, dest)  # nosec: user-requested artifact
+
+
+class AutoInference:
+    """Drop-in equivalent of the reference AutoInference (interface.py:145)."""
+
+    def __init__(
+        self,
+        model_name: str,
+        mode: str = "int4_fixed_zero",
+        *,
+        model_path: Optional[str] = None,
+        hf_model=None,
+        tokenizer=None,
+        n_ctx: int = 2048,
+        batch: int = 1,
+        from_pretrained_kwargs: Optional[dict] = None,
+    ):
+        from vsim_tpu.engine.generate import InferenceEngine
+
+        self.model_name = model_name
+        self.mode = mode
+        self.vocab: Optional[List[bytes]] = None
+
+        cfg = params = None
+        if hf_model is not None:  # direct HF model object (tests, offline)
+            from vsim_tpu.convert.hf import convert_hf_model
+
+            cfg, params = convert_hf_model(hf_model, n_ctx=n_ctx)
+        else:
+            if model_path is None:
+                model_path = self._resolve_model_path()
+            cfg, params, self.vocab = self._load(model_path, n_ctx)
+
+        self.config = cfg
+        self.engine = InferenceEngine(cfg, params, n_ctx=n_ctx)
+
+        if tokenizer is not None:
+            self.tokenizer = tokenizer
+        else:
+            try:
+                from transformers import AutoTokenizer
+
+                os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+                self.tokenizer = AutoTokenizer.from_pretrained(
+                    model_name, **(from_pretrained_kwargs or {}))
+            except Exception:
+                self.tokenizer = None  # ids-only mode
+
+    # -- model resolution ----------------------------------------------------
+
+    def _resolve_model_path(self) -> str:
+        entry = MAP_MODEL_TO_URL.get(self.model_name)
+        if entry is None:
+            raise ValueError(
+                f"unknown model {self.model_name!r}; known: "
+                f"{sorted(MAP_MODEL_TO_URL)} (or pass model_path=)")
+        local = os.path.join(
+            CACHE_PATH, "models", self.model_name.replace("/", "-.-"),
+            self.mode)
+        if not os.path.exists(local):
+            _download(entry.get_url(self.mode), local)
+        if entry.sha256 and _sha256(local) != entry.sha256:
+            print(f"WARNING: sha256 mismatch for {local} — file may be "
+                  f"corrupt or outdated")  # warn-only, like interface.py:45
+        return local
+
+    def _load(self, path: str, n_ctx: int):
+        if os.path.isdir(path):  # vsim_tpu checkpoint dir
+            from vsim_tpu.convert.store import load_params
+
+            cfg, params = load_params(path)
+            return cfg.replace(n_ctx=max(cfg.n_ctx, n_ctx)), params, None
+        # reference ggml binary
+        from vsim_tpu.convert.ggml_file import load_ggml_model
+
+        entry = MAP_MODEL_TO_URL.get(self.model_name)
+        arch = entry.cpp_model_name if entry else "gptneox"
+        cfg, params, vocab = load_ggml_model(path, arch, n_ctx=n_ctx)
+        return cfg, params, vocab
+
+    # -- generation ----------------------------------------------------------
+
+    def generate(
+        self,
+        prompt: Union[str, Sequence[int]],
+        num_tokens_to_generate: int = 100,
+        *,
+        top_k: int = 40,
+        top_p: float = 0.9,
+        temperature: float = 0.9,
+        repeat_penalty: float = 1.3,
+        repeat_last_n: int = 64,
+        seed: int = -1,
+        greedy: bool = False,
+        stop_tokens: Sequence[int] = (2,),  # reference EOS id==2, vsim.cpp:894
+        print_streaming_output: bool = False,
+        streaming_token_str_hook: Optional[Callable[[str], None]] = None,
+        streaming_token_ids_hook: Optional[Callable[[int], None]] = None,
+    ) -> Dict[str, object]:
+        """Reference-compatible result dict: {success, token_ids, token_str}."""
+        from vsim_tpu.engine.sampling import SamplingParams
+
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "no tokenizer available — pass token ids or a tokenizer")
+            prompt_ids = self.tokenizer.encode(prompt)
+        else:
+            prompt_ids = [int(t) for t in prompt]
+
+        sp = SamplingParams(
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repeat_penalty=repeat_penalty, repeat_last_n=repeat_last_n,
+            greedy=greedy, seed=seed,
+        )
+
+        def hook(tok_id: int) -> None:
+            if streaming_token_ids_hook is not None:
+                streaming_token_ids_hook(tok_id)
+            if streaming_token_str_hook is not None or print_streaming_output:
+                s = (self.tokenizer.decode([tok_id])
+                     if self.tokenizer is not None else str(tok_id))
+                if streaming_token_str_hook is not None:
+                    streaming_token_str_hook(s)
+                if print_streaming_output:
+                    print(s, end="", flush=True)
+
+        res = self.engine.generate(
+            prompt_ids, n_predict=num_tokens_to_generate, sampling=sp,
+            stop_tokens=stop_tokens, streaming_token_hook=hook,
+        )
+        all_ids = list(res.prompt_ids) + list(res.token_ids)
+        token_str = (self.tokenizer.decode(all_ids)
+                     if self.tokenizer is not None else "")
+        if print_streaming_output:
+            print()
+        return {
+            "success": True,
+            "token_ids": all_ids,
+            "token_str": token_str,
+            "generated_token_ids": list(res.token_ids),
+            "timings": res.timings,
+        }
+
+    def return_logits(self, prompt_ids: Sequence[int]):
+        """--return_logits parity mode: full-vocab logits per prompt position
+        (vsim.cpp:827-873)."""
+        res = self.engine.generate(
+            [int(t) for t in prompt_ids], n_predict=0, return_logits=True)
+        return res.logits

@@ -248,23 +248,27 @@ _GGML_NAME_MAPS = {
         "w_proj": "layers.{i}.feed_forward.w2.weight",
         "b_proj": "layers.{i}.feed_forward.w2.bias",
     },
+    # gpt2 files are written by convert_gpt2_to_ggml.py from an AutoModel
+    # (base GPT2Model) state_dict — HF names WITHOUT the "transformer."
+    # prefix, Conv1D [in, out] orientation kept as-is, and every 2-D
+    # ".*weight" quantized along the minor (out) axis (quantize_gpt2.cpp:170).
     "gpt2": {
-        "wte": "model/wte",
-        "wpe": "model/wpe",
-        "ln_f_w": "model/ln_f/g",
-        "ln_f_b": "model/ln_f/b",
-        "ln1_w": "model/h{i}/ln_1/g",
-        "ln1_b": "model/h{i}/ln_1/b",
-        "ln2_w": "model/h{i}/ln_2/g",
-        "ln2_b": "model/h{i}/ln_2/b",
-        "w_attn": "model/h{i}/attn/c_attn/w",  # fused qkv [E, 3E] conv1d
-        "b_attn": "model/h{i}/attn/c_attn/b",
-        "wo": "model/h{i}/attn/c_proj/w",
-        "bo": "model/h{i}/attn/c_proj/b",
-        "w_fc": "model/h{i}/mlp/c_fc/w",
-        "b_fc": "model/h{i}/mlp/c_fc/b",
-        "w_proj": "model/h{i}/mlp/c_proj/w",
-        "b_proj": "model/h{i}/mlp/c_proj/b",
+        "wte": "wte.weight",
+        "wpe": "wpe.weight",
+        "ln_f_w": "ln_f.weight",
+        "ln_f_b": "ln_f.bias",
+        "ln1_w": "h.{i}.ln_1.weight",
+        "ln1_b": "h.{i}.ln_1.bias",
+        "ln2_w": "h.{i}.ln_2.weight",
+        "ln2_b": "h.{i}.ln_2.bias",
+        "w_attn": "h.{i}.attn.c_attn.weight",  # fused qkv [E, 3E] conv1d
+        "b_attn": "h.{i}.attn.c_attn.bias",
+        "wo": "h.{i}.attn.c_proj.weight",
+        "bo": "h.{i}.attn.c_proj.bias",
+        "w_fc": "h.{i}.mlp.c_fc.weight",
+        "b_fc": "h.{i}.mlp.c_fc.bias",
+        "w_proj": "h.{i}.mlp.c_proj.weight",
+        "b_proj": "h.{i}.mlp.c_proj.bias",
     },
 }
 

@@ -39,10 +39,14 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, Any]:
 def save_params(path: str, cfg: ModelConfig, params: Any) -> None:
     os.makedirs(path, exist_ok=True)
     leaves = _flatten(params)
+    # .npy cannot represent ml_dtypes (bfloat16 round-trips as void "|V2"),
+    # so record each leaf's true dtype and re-view on load.
+    dtypes = {name: str(np.asarray(a).dtype) for name, a in leaves.items()}
     manifest = {
         "format_version": _FORMAT_VERSION,
         "config": dataclasses.asdict(cfg),
         "leaves": sorted(leaves),
+        "dtypes": dtypes,
     }
     for name, arr in leaves.items():
         fn = os.path.join(path, name.replace("/", "__") + ".npy")
@@ -55,10 +59,17 @@ def load_params(path: str, mmap: bool = False) -> Tuple[ModelConfig, Any]:
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
     cfg = ModelConfig(**manifest["config"])
+    dtypes = manifest.get("dtypes", {})
     flat: Dict[str, Any] = {}
     for name in manifest["leaves"]:
         fn = os.path.join(path, name.replace("/", "__") + ".npy")
-        flat[name] = np.load(fn, mmap_mode="r" if mmap else None)
+        arr = np.load(fn, mmap_mode="r" if mmap else None)
+        want = dtypes.get(name)
+        if want and str(arr.dtype) != want:
+            import ml_dtypes  # restore bfloat16 & friends from the raw bytes
+
+            arr = arr.view(np.dtype(want))
+        flat[name] = arr
 
     # unflatten: group q4 pairs, rebuild nested dicts
     tree: Dict[str, Any] = {}
