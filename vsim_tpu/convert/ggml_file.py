@@ -62,7 +62,10 @@ class GGMLTensor:
         if self.ftype == FTYPE_F32:
             return self.raw.view(np.float32).reshape(self.shape)
         if self.ftype == FTYPE_F16:
-            return self.raw.view(np.float16).astype(np.float32).reshape(self.shape)
+            from vsim_tpu import native
+
+            return native.f16_to_f32(
+                self.raw.view(np.float16)).reshape(self.shape)
         if self.ftype == FTYPE_Q4_0:
             from vsim_tpu.quant.q4 import dequantize_q4_0_np
 
@@ -76,9 +79,15 @@ class GGMLTensor:
         import jax.numpy as jnp
 
         if self.ftype == FTYPE_Q4_0 and len(self.shape) == 2:
+            from vsim_tpu import native
+
             O, K = self.shape
-            packed, scales = from_ggml_q4_0_bytes(self.raw, O, K, scale_dtype)
-            return Q4Tensor.from_row_major(packed, scales)
+            # single-pass multithreaded C++ repack to K-major (numpy fallback
+            # inside) — the hot transform for multi-GB model loads
+            packed_km, scales_km = native.ggml_to_kmajor(
+                self.raw, O, K, scale_dtype=scale_dtype)
+            return Q4Tensor(packed=jnp.asarray(packed_km),
+                            scales=jnp.asarray(scales_km))
         return jnp.asarray(self.to_numpy())
 
 

@@ -55,8 +55,6 @@ def main(argv=None) -> int:
         import jax
 
         hist = np.zeros(16, np.int64)
-        for leaf in jax.tree.leaves(params):
-            pass
         for leaf in jax.tree.leaves(
             params, is_leaf=lambda x: isinstance(x, Q4Tensor)
         ):

@@ -110,12 +110,21 @@ class Q4Tensor:
 
     @classmethod
     def from_dense_np(cls, w: np.ndarray, scale_dtype=DEFAULT_SCALE_DTYPE) -> "Q4Tensor":
-        """Quantize a dense [..., O, K] numpy weight (row-major logical view)."""
+        """Quantize a dense [..., O, K] numpy weight (row-major logical view).
+
+        Uses the multithreaded native quantizer (vsim_tpu/native) when built;
+        numerics are bit-identical to quantize_q4_0_np either way.
+        """
+        from vsim_tpu import native
+
         lead = w.shape[:-2]
         O, K = w.shape[-2:]
-        packed, scales = quantize_q4_0_np(
-            np.ascontiguousarray(w).reshape(-1, K), scale_dtype=scale_dtype
-        )
+        w2 = np.ascontiguousarray(w, np.float32).reshape(-1, K)
+        if native.available():
+            packed, scales_f32 = native.q4_quantize(w2)
+            scales = scales_f32.astype(scale_dtype)
+        else:
+            packed, scales = quantize_q4_0_np(w2, scale_dtype=scale_dtype)
         packed = packed.reshape(*lead, O, K // 2)
         scales = scales.reshape(*lead, O, K // QK)
         # transpose the two minor dims → K-major storage
