@@ -102,7 +102,8 @@ def main() -> int:
             t1 = time.perf_counter()
             toks, cache, last, key = engine._decode_many(
                 engine.params, tok, cache, len(prompt), last, key,
-                n_steps=n_steps, **kwargs,
+                n_steps=n_steps,
+                kv_len=engine.kv_bucket(len(prompt) + n_steps + 1), **kwargs,
             )
             int(toks[-1, 0])  # fetch → true completion barrier
             times.append(time.perf_counter() - t1)

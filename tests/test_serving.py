@@ -1,0 +1,88 @@
+"""Continuous-batching serving engine: ragged batched decode must reproduce
+the single-sequence engine's greedy streams bit-for-bit, across staggered
+admissions and slot reuse."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vsim_tpu.engine.generate import InferenceEngine
+from vsim_tpu.engine.sampling import SamplingParams
+from vsim_tpu.engine.serving import ServingEngine
+from vsim_tpu.models.config import ModelConfig
+from vsim_tpu.models.init import init_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(
+        arch="gptneox", n_vocab=160, n_ctx=96, n_embd=64, n_head=4,
+        n_layer=2, n_ff=128, n_rot=8, kv_dtype="float32",
+        compute_dtype="float32",
+    )
+    params = init_params(cfg, seed=3, quantize=True)
+    return cfg, params
+
+
+def _reference_stream(cfg, params, prompt, n):
+    eng = InferenceEngine(cfg, params)
+    res = eng.generate(prompt, n_predict=n, sampling=SamplingParams(greedy=True),
+                       stop_tokens=())
+    return res.token_ids
+
+
+def test_batched_matches_single(setup):
+    cfg, params = setup
+    prompts = [[1, 2, 3], [7, 8, 9, 10, 11], [42], [5, 4, 3, 2]]
+    n = 12
+    want = [_reference_stream(cfg, params, p, n) for p in prompts]
+
+    srv = ServingEngine(cfg, params, max_batch=4)
+    out = srv.run(prompts, n_predict=n, stop_tokens=())
+    got = [out[i].generated for i in range(len(prompts))]
+    assert got == want
+
+
+def test_staggered_admission_and_slot_reuse(setup):
+    cfg, params = setup
+    srv = ServingEngine(cfg, params, max_batch=2)  # more prompts than slots
+    prompts = [[1, 2, 3], [9, 8], [4, 5, 6, 7], [11], [3, 14, 15]]
+    n = 6
+    out = srv.run(prompts, n_predict=n, stop_tokens=())
+    for i, p in enumerate(prompts):
+        assert out[i].generated == _reference_stream(cfg, params, p, n), i
+
+
+def test_mid_flight_submit(setup):
+    cfg, params = setup
+    srv = ServingEngine(cfg, params, max_batch=4)
+    a = srv.submit([1, 2, 3], 10, stop_tokens=())
+    for _ in range(4):
+        srv.step()
+    b = srv.submit([7, 8, 9], 10, stop_tokens=())  # joins mid-decode of a
+    while srv._active or srv._queue:
+        srv.step()
+    ra, rb = srv._results[a], srv._results[b]
+    assert ra.generated == _reference_stream(cfg, params, [1, 2, 3], 10)
+    assert rb.generated == _reference_stream(cfg, params, [7, 8, 9], 10)
+
+
+def test_stop_token_frees_slot(setup):
+    cfg, params = setup
+    # every token is a stop token -> each request finishes on its first token
+    srv = ServingEngine(cfg, params, max_batch=1)
+    out = srv.run([[1, 2], [3, 4]], n_predict=8,
+                  stop_tokens=range(cfg.n_vocab))
+    assert all(len(r.generated) == 1 for r in out.values())
+
+
+def test_streaming_hook(setup):
+    cfg, params = setup
+    srv = ServingEngine(cfg, params, max_batch=2)
+    seen = []
+    srv.submit([5, 6], 5, stop_tokens=(), streaming_token_hook=seen.append)
+    while srv._active or srv._queue:
+        srv.step()
+    req = list(srv._results.values())[0]
+    assert seen == req.generated
+    assert len(seen) == 5

@@ -65,15 +65,27 @@ class InferenceEngine:
         self.kv_dtype = jnp.dtype(kv_dtype or cfg.kv_dtype)
         self.decode_chunk = decode_chunk
 
+        # pad a misaligned quantized lm_head (e.g. vocab 50400) to a lane
+        # multiple so the Pallas decode kernel serves it; forward() slices
+        # the logits back to n_vocab
+        from vsim_tpu.quant.q4 import Q4Tensor as _Q4
+
+        lm = params.get("lm_head")
+        if isinstance(lm, _Q4) and lm.out_features % 256:
+            self.params = dict(params, lm_head=lm.pad_out(256))
+
         donate = (2,) if donate_cache else ()
 
-        @partial(jax.jit, donate_argnums=donate)
-        def _prefill(params, token_ids, cache, n_past):
-            logits, cache = forward(cfg, params, token_ids, cache, n_past)
+        @partial(jax.jit, donate_argnums=donate, static_argnames=("kv_len",))
+        def _prefill(params, token_ids, cache, n_past, kv_len=None):
+            logits, cache = forward(cfg, params, token_ids, cache, n_past,
+                                    kv_len=kv_len)
             return logits, cache
 
-        def _one_step(params, token, cache, n_past, last_tokens, key, sk):
-            logits, cache = forward(cfg, params, token[:, None], cache, n_past)
+        def _one_step(params, token, cache, n_past, last_tokens, key, sk,
+                      kv_len=None):
+            logits, cache = forward(cfg, params, token[:, None], cache, n_past,
+                                    kv_len=kv_len)
             logits = logits[:, -1, :]
             key, sub = jax.random.split(key)
             next_tok = sample_jax(
@@ -88,23 +100,26 @@ class InferenceEngine:
             )
             return next_tok, cache, last_tokens, key
 
-        @partial(jax.jit, donate_argnums=donate, static_argnames=_STEP_STATIC)
+        @partial(jax.jit, donate_argnums=donate,
+                 static_argnames=_STEP_STATIC + ("kv_len",))
         def _decode_step(
             params, token, cache, n_past, last_tokens, key,
-            *, top_k, top_p, temperature, repeat_penalty, greedy,
+            *, top_k, top_p, temperature, repeat_penalty, greedy, kv_len=None,
         ):
             sk = dict(top_k=top_k, top_p=top_p, temperature=temperature,
                       repeat_penalty=repeat_penalty, greedy=greedy)
-            return _one_step(params, token, cache, n_past, last_tokens, key, sk)
+            return _one_step(params, token, cache, n_past, last_tokens, key,
+                             sk, kv_len)
 
         @partial(
             jax.jit,
             donate_argnums=donate,
-            static_argnames=_STEP_STATIC + ("n_steps",),
+            static_argnames=_STEP_STATIC + ("n_steps", "kv_len"),
         )
         def _decode_many(
             params, token, cache, n_past, last_tokens, key,
             *, n_steps, top_k, top_p, temperature, repeat_penalty, greedy,
+            kv_len=None,
         ):
             """n_steps decode iterations fully on-device (lax.scan): one
             dispatch, one host fetch per chunk instead of per token."""
@@ -114,7 +129,7 @@ class InferenceEngine:
             def body(carry, _):
                 token, cache, n_past, last_tokens, key = carry
                 token, cache, last_tokens, key = _one_step(
-                    params, token, cache, n_past, last_tokens, key, sk
+                    params, token, cache, n_past, last_tokens, key, sk, kv_len
                 )
                 return (token, cache, n_past + 1, last_tokens, key), token
 
@@ -131,6 +146,12 @@ class InferenceEngine:
 
     def new_cache(self, batch: int = 1):
         return init_cache(self.cfg, batch, n_ctx=self.n_ctx, dtype=self.kv_dtype)
+
+    def kv_bucket(self, needed: int) -> int:
+        """Static attended-cache length covering ``needed`` slots: multiples
+        of 128 so each bucket compiles once and short sequences don't stream
+        the whole n_ctx KV cache every step."""
+        return min(self.n_ctx, max(128, -(-needed // 128) * 128))
 
     # -- generation --------------------------------------------------------
 
@@ -165,7 +186,8 @@ class InferenceEngine:
         token_ids = jnp.asarray([padded], jnp.int32)
         cache = self.new_cache(batch=1)
         with monitor.span("prefill"):
-            logits, cache = self._prefill(self.params, token_ids, cache, 0)
+            logits, cache = self._prefill(self.params, token_ids, cache, 0,
+                                          kv_len=T)
             logits.block_until_ready()
         t_prefill = time.perf_counter()
 
@@ -226,7 +248,8 @@ class InferenceEngine:
                     break
                 toks, cache, last_tokens, key = self._decode_many(
                     self.params, tok, cache, n_past, last_tokens, key,
-                    n_steps=n_steps, **sample_kwargs,
+                    n_steps=n_steps, kv_len=self.kv_bucket(n_past + n_steps),
+                    **sample_kwargs,
                 )
                 n_past += n_steps
                 tok = toks[-1]

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from vsim_tpu.models.config import ModelConfig
 from vsim_tpu.ops.layers import get_activation, layer_norm
-from vsim_tpu.ops.matmul import q4_matmul
+from vsim_tpu.ops.matmul import Q4Layer, q4_matmul
 from vsim_tpu.ops.rope import apply_rope
 from vsim_tpu.parallel.context import constrain
 from vsim_tpu.quant.q4 import Q4Tensor, q4_take_rows
@@ -73,12 +73,14 @@ def attention(
     v_all: Optional[jnp.ndarray],
     il: jnp.ndarray,  # int32 layer index into the cache
     positions: jnp.ndarray,  # int32 [B, T]
-    n_past: jnp.ndarray,  # int32 scalar
+    n_past: jnp.ndarray,  # int32 scalar OR [B] (ragged continuous batching)
     slopes: Optional[jnp.ndarray],
+    kv_len: Optional[int] = None,  # static attended-cache length bucket
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     B, T, E = h.shape
     H, D = cfg.n_head, cfg.head_dim
     cdt = h.dtype
+    ragged = n_past.ndim == 1  # per-sequence cache lengths
 
     q = _linear(h, lp["wq"], lp.get("bq"), cdt).reshape(B, T, H, D)
     k = _linear(h, lp["wk"], lp.get("bk"), cdt).reshape(B, T, H, D)
@@ -99,23 +101,44 @@ def attention(
         # fusable dynamic-slice — never a copy of the whole layer cache.
         kv_dtype = k_all.dtype
         zero = jnp.int32(0)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
-        )
+        if ragged:
+            # continuous batching: each sequence writes its T new slots at
+            # its own offset n_past[b] (scatter along S)
+            S_tot = k_all.shape[2]  # noqa: N806
+            b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B, 1]
+            s_dst = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            s_dst = jnp.clip(s_dst, 0, S_tot - 1)  # [B, T]
+            k_all = k_all.at[il, b_idx, s_dst].set(
+                k.astype(kv_dtype), mode="drop")
+            v_all = v_all.at[il, b_idx, s_dst].set(
+                v.astype(kv_dtype), mode="drop")
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
+            )
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
+            )
         keys = jax.lax.dynamic_index_in_dim(k_all, il, 0, keepdims=False)
         values = jax.lax.dynamic_index_in_dim(v_all, il, 0, keepdims=False)
+        if kv_len is not None and kv_len < keys.shape[1]:
+            # KV-length bucketing: attend only over the valid cache prefix
+            # (static slice — the engine picks the bucket per decode chunk),
+            # instead of streaming all n_ctx slots every step like the
+            # reference (vsim.cpp:573-596 walks the full 512-slot view)
+            keys = jax.lax.slice_in_dim(keys, 0, kv_len, axis=1)
+            values = jax.lax.slice_in_dim(values, 0, kv_len, axis=1)
     else:  # cache-free mode (training / perplexity eval over full sequences)
         keys, values = k, v
     S = keys.shape[1]
 
     scale = 1.0 / math.sqrt(D)
+    # feed the MXU its native input dtype (bf16 ~6x f32 rate on v5e) with
+    # f32 accumulation; f32 compute_dtype mode keeps full-f32 parity
     scores = jnp.einsum(
         "bthd,bshd->bhts",
-        q.astype(jnp.float32),
-        keys.astype(jnp.float32),
+        q,
+        keys.astype(q.dtype),
         preferred_element_type=jnp.float32,
     ) * scale
 
@@ -123,18 +146,23 @@ def attention(
         s_idx = jnp.arange(S, dtype=jnp.float32)
         scores = scores + slopes[None, :, None, None] * s_idx[None, None, None, :]
 
-    # causal mask over the cache: key slot s visible iff s <= n_past + t
-    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]
-    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]
-    mask = s_idx <= (n_past + t_idx)  # [T, S]
+    # causal mask over the cache: key slot s visible iff s <= n_past[b] + t
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    s_idx = jnp.arange(S, dtype=jnp.int32)
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
-    scores = jnp.where(mask[None, None, :, :], scores, neg)
+    if ragged:
+        mask = (s_idx[None, None, :]
+                <= n_past[:, None, None] + t_idx[None, :, None])  # [B, T, S]
+        scores = jnp.where(mask[:, None, :, :], scores, neg)
+    else:
+        mask = s_idx[None, :] <= (n_past + t_idx[:, None])  # [T, S]
+        scores = jnp.where(mask[None, None, :, :], scores, neg)
 
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum(
         "bhts,bshd->bthd",
-        probs,
-        values.astype(jnp.float32),
+        probs.astype(cdt),
+        values.astype(cdt),
         preferred_element_type=jnp.float32,
     ).astype(cdt)
     ctx = ctx.reshape(B, T, E)
@@ -162,12 +190,13 @@ def decoder_layer(
     positions: jnp.ndarray,
     n_past: jnp.ndarray,
     slopes: Optional[jnp.ndarray],
+    kv_len: Optional[int] = None,
 ):
     """One decoder block.  Residual topology per arch (vsim.cpp:627-708 for
     NeoX parallel/sequential; GPT-J shares one LN; BLOOM/GPT-2 sequential)."""
     h1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
     attn_out, k_all, v_all = attention(
-        cfg, lp, h1, k_all, v_all, il, positions, n_past, slopes
+        cfg, lp, h1, k_all, v_all, il, positions, n_past, slopes, kv_len
     )
 
     if cfg.parallel_residual:
@@ -197,16 +226,24 @@ def forward(
     params: Params,
     token_ids: jnp.ndarray,  # int32 [B, T]
     cache: Optional[Dict[str, jnp.ndarray]],  # {"k","v": [L, B, S, H, D]} | None
-    n_past: jnp.ndarray = 0,  # int32 scalar
+    n_past: jnp.ndarray = 0,  # int32 scalar, or [B] for continuous batching
+    kv_len: Optional[int] = None,  # STATIC: attended-cache length bucket
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Full forward: token ids → logits [B, T, n_vocab] + updated KV cache.
 
-    ``cache=None`` runs cache-free (training / whole-sequence perplexity)."""
+    ``cache=None`` runs cache-free (training / whole-sequence perplexity).
+    A vector ``n_past`` gives each sequence its own cache length (the ragged
+    decode step of the continuous-batching serving engine).  ``kv_len``
+    (static) bounds how much of the cache attention reads — the engine
+    buckets it so short sequences don't stream the whole n_ctx cache."""
     cdt = jnp.dtype(cfg.compute_dtype)
     B, T = token_ids.shape
     n_past = jnp.asarray(n_past, jnp.int32)
-    positions = n_past + jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
-    positions = jnp.broadcast_to(positions, (B, T))
+    if n_past.ndim == 1:  # ragged: per-sequence positions
+        positions = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    else:
+        positions = jnp.broadcast_to(
+            n_past + jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
 
     x = embed(cfg, params, token_ids, cdt)
     if cfg.learned_pos:
@@ -221,32 +258,58 @@ def forward(
     # in place (dynamic_update_index_in_dim on a carried buffer aliases, so
     # XLA keeps ONE cache allocation; passing the cache through scan xs/ys
     # would double-buffer ~2x the whole cache in HBM).
+    #
+    # Stacked Q4 weights do NOT ride the scan inputs: scan xs are dynamic-
+    # sliced each step, which materializes a full copy of every layer's
+    # weight in HBM (3x traffic).  They stay closed-over and each layer
+    # addresses them with a Q4Layer(il) — the Pallas kernel then indexes the
+    # stacked array in place via scalar prefetch (ops/pallas_q4.py).
+    q4_stacked = {
+        k: v for k, v in params["layers"].items() if isinstance(v, Q4Tensor)
+    }
+    small_xs = {
+        k: v for k, v in params["layers"].items()
+        if not isinstance(v, Q4Tensor)
+    }
+
+    def layer_params(xs_slice, il):
+        lp = dict(xs_slice)
+        for k, wstk in q4_stacked.items():
+            lp[k] = Q4Layer(wstk, il)
+        return lp
+
     if cache is not None:
-        def body(carry, lp):
+        def body(carry, xs_slice):
             x, k_all, v_all, il = carry
             x, k_all, v_all = decoder_layer(
-                cfg, lp, x, k_all, v_all, il, positions, n_past, slopes
+                cfg, layer_params(xs_slice, il), x, k_all, v_all, il,
+                positions, n_past, slopes, kv_len
             )
             return (x, k_all, v_all, il + 1), None
 
         (x, k_new, v_new, _), _ = jax.lax.scan(
             body,
             (x, cache["k"], cache["v"], jnp.int32(0)),
-            params["layers"],
+            small_xs,
             length=cfg.n_layer,
         )
     else:
-        def body_nc(x, lp):
+        def body_nc(carry, xs_slice):
+            x, il = carry
             x, _, _ = decoder_layer(
-                cfg, lp, x, None, None, jnp.int32(0), positions, n_past, slopes
+                cfg, layer_params(xs_slice, il), x, None, None, il,
+                positions, n_past, slopes
             )
-            return x, None
+            return (x, il + 1), None
 
-        x, _ = jax.lax.scan(body_nc, x, params["layers"], length=cfg.n_layer)
+        (x, _), _ = jax.lax.scan(
+            body_nc, (x, jnp.int32(0)), small_xs, length=cfg.n_layer)
         k_new = v_new = None
 
     x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
     logits = q4_matmul(x, params["lm_head"], compute_dtype=cdt)
+    if logits.shape[-1] != cfg.n_vocab:  # lm_head padded for kernel alignment
+        logits = logits[..., : cfg.n_vocab]
     if "lm_head_b" in params:
         logits = logits + params["lm_head_b"].astype(logits.dtype)
     logits = constrain(logits, "batch", None, "vocab")

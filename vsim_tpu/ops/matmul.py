@@ -19,6 +19,7 @@ Here the same split becomes:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Union
 
 import jax
@@ -26,7 +27,24 @@ import jax.numpy as jnp
 
 from vsim_tpu.quant.q4 import QK, Q4Tensor, dequantize_km, fake_quantize
 
-Weight = Union[Q4Tensor, jnp.ndarray]
+
+@dataclasses.dataclass
+class Q4Layer:
+    """One layer of a stacked Q4 weight, addressed by a traced index.
+
+    Built inside the model's layer scan so the matmul can select the layer
+    *inside the Pallas kernel* (scalar prefetch) instead of having the scan
+    materialize a per-step dynamic-slice copy of the weight in HBM."""
+
+    stacked: Q4Tensor  # packed [L, K/2, O]
+    il: jnp.ndarray  # int32 scalar
+
+    @property
+    def shape(self):
+        return self.stacked.shape[1:]
+
+
+Weight = Union[Q4Tensor, "Q4Layer", jnp.ndarray]
 
 # Toggled by vsim_tpu.config; 'auto' picks pallas for decode-shaped GEMVs on TPU.
 _DEFAULT_IMPL = "auto"
@@ -74,11 +92,27 @@ def q4_matmul(
     impl: Optional[str] = None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """``x [..., K] @ w.T`` with ``w`` either a Q4Tensor [O, K] or dense [O, K].
+    """``x [..., K] @ w.T`` with ``w`` a Q4Tensor [O, K], a Q4Layer (one layer
+    of a stacked Q4 weight), or dense [O, K].
 
     Dense weights take the plain XLA GEMM (used by the fp16/bf16 model variant
     and by training); quantized weights dispatch per ``impl``.
     """
+    if isinstance(w, Q4Layer):
+        one = Q4Tensor(packed=w.stacked.packed[0], scales=w.stacked.scales[0])
+        impl_r = impl or _DEFAULT_IMPL
+        if impl_r in ("auto", "pallas") and _use_pallas(x, one):
+            from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul_stacked
+
+            return pallas_q4_matmul_stacked(x, w.stacked, w.il)
+        # fallback: slice the layer out (CPU tests / misaligned shapes)
+        sliced = Q4Tensor(
+            packed=jax.lax.dynamic_index_in_dim(
+                w.stacked.packed, w.il, 0, keepdims=False),
+            scales=jax.lax.dynamic_index_in_dim(
+                w.stacked.scales, w.il, 0, keepdims=False),
+        )
+        return q4_matmul(x, sliced, impl="xla", compute_dtype=compute_dtype)
     if not isinstance(w, Q4Tensor):
         return jnp.einsum(
             "...k,ok->...o",

@@ -136,6 +136,119 @@ def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
     return block_o, block_kh
 
 
+def _kernel_stacked(il_ref, xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype):
+    """Stacked-layer variant: weight blocks carry a leading layer dim of 1,
+    selected by the scalar-prefetched layer index (see
+    pallas_q4_matmul_stacked)."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[0].astype(jnp.int32)
+    lo = (p & 0x0F) - 8
+    hi = (p >> 4) - 8
+
+    s = s_ref[0].astype(jnp.float32)
+    nb, to = s.shape
+    tkh = p.shape[0]
+    sexp = jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
+
+    wlo = (lo.astype(jnp.float32) * sexp).astype(acc_dtype)
+    whi = (hi.astype(jnp.float32) * sexp).astype(acc_dtype)
+
+    acc = jnp.dot(xe_ref[:].astype(acc_dtype), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:].astype(acc_dtype), whi,
+                   preferred_element_type=jnp.float32)
+    o_ref[:] += acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret"),
+)
+def _pallas_q4_matmul_stacked_2d(
+    il: jnp.ndarray,  # int32 [1]
+    xe: jnp.ndarray,  # [N, K/2]
+    xo: jnp.ndarray,  # [N, K/2]
+    packed: jnp.ndarray,  # [L, K/2, O] uint8
+    scales: jnp.ndarray,  # [L, K/32, O]
+    *,
+    block_o: int,
+    block_kh: int,
+    acc_dtype,
+    interpret: bool,
+) -> jnp.ndarray:
+    N, half_k = xe.shape
+    O = packed.shape[-1]
+    nb_per_tile = block_kh // (QK // 2)
+    grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
+
+    return pl.pallas_call(
+        functools.partial(_kernel_stacked, acc_dtype=acc_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((N, block_kh), lambda i, k, il: (0, k)),
+                pl.BlockSpec((N, block_kh), lambda i, k, il: (0, k)),
+                pl.BlockSpec((1, block_kh, block_o),
+                             lambda i, k, il: (il[0], k, i)),
+                pl.BlockSpec((1, nb_per_tile, block_o),
+                             lambda i, k, il: (il[0], k, i)),
+            ],
+            out_specs=pl.BlockSpec((N, block_o), lambda i, k, il: (0, i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(il, xe, xo, packed, scales)
+
+
+def pallas_q4_matmul_stacked(
+    x: jnp.ndarray,
+    w: Q4Tensor,  # stacked: packed [L, K/2, O]
+    il: jnp.ndarray,  # int32 scalar layer index
+    *,
+    acc_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``x [..., K] @ w[il].T → [..., O]`` selecting layer ``il`` of a stacked
+    Q4 weight **inside the kernel** (scalar prefetch indexes HBM directly).
+
+    This is the decode hot path: a ``lax.scan`` over layers that passed the
+    stacked weights as scan inputs would materialize a dynamic-slice copy of
+    every layer's weight each step — tripling HBM traffic (measured 256 GB/s
+    vs ~400 GB/s with this kernel on GPT-J-6B).  The reference's analogue is
+    staging weights into the accelerator arena once (xmax_cpyin, imax.c:2144)
+    instead of re-copying per call."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    O = w.out_features
+    n = 1
+    for d in lead:
+        n *= d
+    x2 = x.reshape(n, K)
+    xe = x2[:, 0::2]
+    xo = x2[:, 1::2]
+    n_pad = max(8, -(-n // 8) * 8)
+    if n_pad != n:
+        pad = jnp.zeros((n_pad - n, K // 2), x2.dtype)
+        xe = jnp.concatenate([xe, pad], axis=0)
+        xo = jnp.concatenate([xo, pad], axis=0)
+    block_o, block_kh = _pick_blocks(K // 2, O, n_pad)
+    y = _pallas_q4_matmul_stacked_2d(
+        jnp.asarray(il, jnp.int32).reshape(1), xe, xo, w.packed, w.scales,
+        block_o=block_o, block_kh=block_kh,
+        acc_dtype=acc_dtype, interpret=interpret,
+    )
+    return y[:n].reshape(*lead, O)
+
+
 def pallas_q4_matmul(
     x: jnp.ndarray,
     w: Q4Tensor,

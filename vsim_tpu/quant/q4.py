@@ -133,6 +133,20 @@ class Q4Tensor:
             scales=jnp.asarray(np.swapaxes(scales, -1, -2).copy()),
         )
 
+    def pad_out(self, multiple: int = 256) -> "Q4Tensor":
+        """Zero-pad the output dim (lanes) to a multiple — lets misaligned
+        vocab sizes (e.g. 50400) ride the Pallas kernel.  Padded rows carry
+        scale 0 so they dequantize to exactly 0."""
+        O = self.out_features
+        pad = (-O) % multiple
+        if pad == 0:
+            return self
+        widths = [(0, 0)] * (self.packed.ndim - 1) + [(0, pad)]
+        return Q4Tensor(
+            packed=jnp.pad(self.packed, widths),
+            scales=jnp.pad(self.scales, widths),
+        )
+
     @classmethod
     def from_row_major(cls, packed_ok: np.ndarray, scales_ok: np.ndarray):
         """Wrap reference-layout arrays (packed [..., O, K//2])."""
