@@ -86,3 +86,18 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sequence_parallel_matches_single_device():
+    """Megatron-SP (token axis sharded over model through LN/residual
+    segments) must be numerically identical to the unsharded forward."""
+    params = init_params(CFG, seed=2, quantize=True, scale_dtype=np.float32)
+    ids = jnp.arange(1, 9, dtype=jnp.int32)[None, :].repeat(2, axis=0)
+    ref = forward(CFG, params, ids, None, 0)[0]
+
+    mesh = make_mesh((1, 8))
+    sharded = shard_params(params, mesh)
+    with pctx.use_mesh(mesh, rules={"seq": "model"}):
+        got = jax.jit(lambda p, t: forward(CFG, p, t, None, 0)[0])(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

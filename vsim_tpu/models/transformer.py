@@ -167,7 +167,7 @@ def attention(
     ).astype(cdt)
     ctx = ctx.reshape(B, T, E)
     out = _linear(ctx, lp["wo"], lp.get("bo"), cdt)
-    out = constrain(out, "batch", None, "embed")
+    out = constrain(out, "batch", "seq", "embed")
     return out, k_all, v_all
 
 
@@ -177,7 +177,7 @@ def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
     y = constrain(y, "batch", None, "ffn")
     y = act(y.astype(jnp.float32)).astype(h.dtype)
     y = _linear(y, lp["w_proj"], lp.get("b_proj"), h.dtype)
-    return constrain(y, "batch", None, "embed")
+    return constrain(y, "batch", "seq", "embed")
 
 
 def decoder_layer(
@@ -250,7 +250,7 @@ def forward(
         x = x + jnp.take(params["wpe"], positions, axis=0).astype(cdt)
     if "emb_ln_w" in params:  # BLOOM word_embeddings_layernorm
         x = layer_norm(x, params["emb_ln_w"], params["emb_ln_b"], cfg.ln_eps)
-    x = constrain(x, "batch", None, "embed")
+    x = constrain(x, "batch", "seq", "embed")
 
     slopes = alibi_slopes(cfg.n_head) if cfg.alibi else None
 

@@ -24,6 +24,11 @@ DEFAULT_RULES: Dict[str, str] = {
     "vocab": "model",
     "ffn": "model",
     "embed": None,  # replicated
+    # sequence parallelism (Megatron-SP): map "seq" -> "model" via
+    # use_mesh(..., rules={"seq": "model"}) to shard the residual stream's
+    # token axis through LN/residual segments (prefill/training only —
+    # decode has T=1).  Off by default.
+    "seq": None,
 }
 
 
