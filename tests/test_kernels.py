@@ -62,3 +62,43 @@ def test_pallas_fp16_scales():
     got = pallas_q4_matmul(x, w, interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_pallas_stacked_scalar_prefetch():
+    """Stacked-layer kernel: selecting layer il inside the kernel must equal
+    the per-layer kernel on the sliced weight, for every layer."""
+    from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul_stacked
+
+    L, O, K = 3, 256, 512
+    rng = np.random.default_rng(7)
+    dense = (rng.standard_normal((L, O, K)) * 0.1).astype(np.float32)
+    stacked = Q4Tensor.from_dense_np(dense, scale_dtype=np.float32)
+    x = jnp.asarray((rng.standard_normal((4, K)) * 0.5).astype(np.float32))
+    for il in range(L):
+        one = Q4Tensor(packed=stacked.packed[il], scales=stacked.scales[il])
+        ref = q4_matmul(x, one, impl="xla")
+        exact = pallas_q4_matmul_stacked(x, stacked, il, interpret=INTERPRET,
+                                         acc_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # default bf16 MXU inputs: quantization-noise-level tolerance
+        fast = pallas_q4_matmul_stacked(x, stacked, il, interpret=INTERPRET)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_q4layer_dispatch_matches_slice():
+    """q4_matmul on a Q4Layer must equal q4_matmul on the sliced Q4Tensor."""
+    from vsim_tpu.ops.matmul import Q4Layer
+
+    L, O, K = 2, 128, 256
+    rng = np.random.default_rng(9)
+    dense = (rng.standard_normal((L, O, K)) * 0.1).astype(np.float32)
+    stacked = Q4Tensor.from_dense_np(dense, scale_dtype=np.float32)
+    x = jnp.asarray((rng.standard_normal((2, K)) * 0.5).astype(np.float32))
+    for il in range(L):
+        one = Q4Tensor(packed=stacked.packed[il], scales=stacked.scales[il])
+        ref = q4_matmul(x, one, impl="xla")
+        got = q4_matmul(x, Q4Layer(stacked, jnp.int32(il)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=0)
