@@ -129,8 +129,40 @@ PRESETS = {
         qkv_bias=False, attn_out_bias=False, final_logit_bias=True,
         activation="gelu_tanh",
     ),
+    "gpt-neox-20b": ModelConfig(  # togethercomputer/GPT-NeoXT-Chat-Base-20B
+        "gptneox", 50432, 2048, 6144, 64, 44, 24576, n_rot=24),
+    "stablelm-7b": ModelConfig(  # stabilityai/stablelm-tuned-alpha-7b
+        "gptneox", 50432, 4096, 6144, 48, 16, 24576, n_rot=32),
+    "codegen-350m": ModelConfig(  # Salesforce/codegen-350M-mono (GPT-J arch)
+        "gptj", 51200, 2048, 1024, 16, 20, 4096,
+        n_rot=32, rotary_interleaved=True, shared_layernorm=True,
+        qkv_bias=False, attn_out_bias=False, final_logit_bias=True,
+        activation="gelu_tanh",
+    ),
+    "codegen-2b": ModelConfig(  # Salesforce/codegen-2B-mono
+        "gptj", 51200, 2048, 2560, 32, 32, 10240,
+        n_rot=64, rotary_interleaved=True, shared_layernorm=True,
+        qkv_bias=False, attn_out_bias=False, final_logit_bias=True,
+        activation="gelu_tanh",
+    ),
+    "codegen-6b": ModelConfig(  # Salesforce/codegen-6B-mono
+        "gptj", 51200, 2048, 4096, 16, 33, 16384,
+        n_rot=64, rotary_interleaved=True, shared_layernorm=True,
+        qkv_bias=False, attn_out_bias=False, final_logit_bias=True,
+        activation="gelu_tanh",
+    ),
+    "codegen-16b": ModelConfig(  # Salesforce/codegen-16B-mono
+        "gptj", 51200, 2048, 6144, 24, 34, 24576,
+        n_rot=64, rotary_interleaved=True, shared_layernorm=True,
+        qkv_bias=False, attn_out_bias=False, final_logit_bias=True,
+        activation="gelu_tanh",
+    ),
     "bloom-560m": ModelConfig(
         "bloom", 250880, 2048, 1024, 16, 24, 4096,
+        parallel_residual=False, alibi=True, activation="gelu_tanh",
+    ),
+    "bloom-7b1": ModelConfig(
+        "bloom", 250880, 2048, 4096, 32, 30, 16384,
         parallel_residual=False, alibi=True, activation="gelu_tanh",
     ),
     "gpt2": ModelConfig(
