@@ -37,6 +37,10 @@ class ModelConfig:
     # runtime dtypes
     compute_dtype: str = "float32"
     kv_dtype: str = "float32"
+    # reference-parity mode: also Q4_0-quantize activations before each
+    # weight matmul, as the reference does in the matmul INIT phase
+    # (ggml.c:5030-5038) — for bit-width-matched logits/ppl comparisons
+    act_quant: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -58,8 +58,13 @@ def alibi_slopes(n_head: int) -> jnp.ndarray:
     return jnp.asarray(slopes, dtype=jnp.float32)
 
 
-def _linear(x, w, b, compute_dtype):
-    y = q4_matmul(x, w, compute_dtype=compute_dtype)  # f32 accumulation
+def _linear(x, w, b, compute_dtype, act_quant=False):
+    if act_quant:
+        from vsim_tpu.ops.matmul import q4_matmul_act_quant
+
+        y = q4_matmul_act_quant(x, w, compute_dtype=compute_dtype)
+    else:
+        y = q4_matmul(x, w, compute_dtype=compute_dtype)  # f32 accumulation
     if b is not None:
         y = y + b.astype(y.dtype)
     return y.astype(compute_dtype)
@@ -82,9 +87,9 @@ def attention(
     cdt = h.dtype
     ragged = n_past.ndim == 1  # per-sequence cache lengths
 
-    q = _linear(h, lp["wq"], lp.get("bq"), cdt).reshape(B, T, H, D)
-    k = _linear(h, lp["wk"], lp.get("bk"), cdt).reshape(B, T, H, D)
-    v = _linear(h, lp["wv"], lp.get("bv"), cdt).reshape(B, T, H, D)
+    q = _linear(h, lp["wq"], lp.get("bq"), cdt, cfg.act_quant).reshape(B, T, H, D)
+    k = _linear(h, lp["wk"], lp.get("bk"), cdt, cfg.act_quant).reshape(B, T, H, D)
+    v = _linear(h, lp["wv"], lp.get("bv"), cdt, cfg.act_quant).reshape(B, T, H, D)
     q = constrain(q, "batch", None, "heads", None)
     k = constrain(k, "batch", None, "heads", None)
     v = constrain(v, "batch", None, "heads", None)
@@ -166,17 +171,17 @@ def attention(
         preferred_element_type=jnp.float32,
     ).astype(cdt)
     ctx = ctx.reshape(B, T, E)
-    out = _linear(ctx, lp["wo"], lp.get("bo"), cdt)
+    out = _linear(ctx, lp["wo"], lp.get("bo"), cdt, cfg.act_quant)
     out = constrain(out, "batch", "seq", "embed")
     return out, k_all, v_all
 
 
 def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
     act = get_activation(cfg.activation)
-    y = _linear(h, lp["w_fc"], lp.get("b_fc"), h.dtype)
+    y = _linear(h, lp["w_fc"], lp.get("b_fc"), h.dtype, cfg.act_quant)
     y = constrain(y, "batch", None, "ffn")
     y = act(y.astype(jnp.float32)).astype(h.dtype)
-    y = _linear(y, lp["w_proj"], lp.get("b_proj"), h.dtype)
+    y = _linear(y, lp["w_proj"], lp.get("b_proj"), h.dtype, cfg.act_quant)
     return constrain(y, "batch", "seq", "embed")
 
 
