@@ -18,7 +18,7 @@ can run — full wire-format compatibility in both directions.
 from __future__ import annotations
 
 import struct
-from typing import Any, BinaryIO, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -289,7 +289,6 @@ def load_ggml_model(path: str, arch: str, *, n_ctx: int = 512,
     Q4_0 tensors are re-wrapped without requantization (bit-identical
     nibbles; scales cast from f32 to ``scale_dtype``).
     """
-    import jax
     import jax.numpy as jnp
 
     hparams, vocab, tensors = read_ggml(path, arch)

@@ -25,7 +25,7 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
-from vsim_tpu.quant.q4 import QK, Q4Tensor, dequantize_km, fake_quantize
+from vsim_tpu.quant.q4 import Q4Tensor, dequantize_km, fake_quantize
 
 
 @dataclasses.dataclass
