@@ -22,16 +22,18 @@ def _logits(cfg, params, ids):
     return np.asarray(lg[0])
 
 
-@pytest.mark.parametrize("arch", ["gptneox", "gptj", "bloom", "gpt2"])
+@pytest.mark.parametrize("arch", ["gptneox", "gptj", "codegen", "bloom",
+                                  "gpt2"])
 def test_ggml_roundtrip_logits(arch, tmp_path):
     model = _hf_model(arch)
     path = str(tmp_path / "model.bin")
     export_ggml(path, model, quantize=True)
 
+    ggml_arch = "gptj" if arch == "codegen" else arch  # CodeGen ships as GPT-J
     cfg_direct, params_direct = convert_hf_model(
         model, quantize=True, scale_dtype=np.float32)
     cfg_ggml, params_ggml, vocab = load_ggml_model(
-        path, arch, n_ctx=32, scale_dtype=np.float32)
+        path, ggml_arch, n_ctx=32, scale_dtype=np.float32)
 
     assert cfg_ggml.arch == cfg_direct.arch
     assert cfg_ggml.n_embd == cfg_direct.n_embd

@@ -40,6 +40,14 @@ def _hf_model(arch, **kw):
             rotary_dim=16, use_cache=False, **kw,
         )
         return GPTJForCausalLM(cfg).eval()
+    if arch == "codegen":
+        from transformers import CodeGenConfig, CodeGenForCausalLM
+
+        cfg = CodeGenConfig(
+            vocab_size=96, n_positions=128, n_embd=64, n_head=4, n_layer=2,
+            rotary_dim=16, use_cache=False, **kw,
+        )
+        return CodeGenForCausalLM(cfg).eval()
     if arch == "bloom":
         from transformers import BloomConfig, BloomForCausalLM
 
@@ -71,7 +79,7 @@ def _our_logits(cfg, params, ids, n_ctx=32):
     return np.asarray(logits[0])
 
 
-ARCHS = ["gptneox", "gptj", "bloom", "gpt2"]
+ARCHS = ["gptneox", "gptj", "codegen", "bloom", "gpt2"]
 
 
 @pytest.mark.parametrize("arch", ARCHS)

@@ -76,15 +76,23 @@ def _gather_tensors(arch: str, cfg: ModelConfig, sd: Dict, quantize: bool
         return out
 
     if arch == "gptj":
+        from vsim_tpu.convert.hf import split_codegen_qkv
+
         add("wte", _np(sd["transformer.wte.weight"]))
         for i in range(cfg.n_layer):
             p = f"transformer.h.{i}."
             add("ln1_w", _np(sd[p + "ln_1.weight"]), i)
             add("ln1_b", _np(sd[p + "ln_1.bias"]), i)
-            for slot, hf in (("wq", "attn.q_proj.weight"),
-                             ("wk", "attn.k_proj.weight"),
-                             ("wv", "attn.v_proj.weight"),
-                             ("wo", "attn.out_proj.weight"),
+            if p + "attn.qkv_proj.weight" in sd:  # CodeGen: split fused qkv
+                wq, wk, wv = split_codegen_qkv(
+                    _np(sd[p + "attn.qkv_proj.weight"]), E)
+                add("wq", wq, i); add("wk", wk, i); add("wv", wv, i)
+            else:
+                for slot, hf in (("wq", "attn.q_proj.weight"),
+                                 ("wk", "attn.k_proj.weight"),
+                                 ("wv", "attn.v_proj.weight")):
+                    add(slot, _np(sd[p + hf]), i)
+            for slot, hf in (("wo", "attn.out_proj.weight"),
                              ("w_fc", "mlp.fc_in.weight"),
                              ("w_proj", "mlp.fc_out.weight")):
                 add(slot, _np(sd[p + hf]), i)

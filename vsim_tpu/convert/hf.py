@@ -122,6 +122,22 @@ def _convert_gptneox(sd, cfg: ModelConfig, cv: Converter) -> Dict[str, Any]:
     return params
 
 
+def split_codegen_qkv(w: np.ndarray, n_embd: int):
+    """CodeGen fused qkv_proj [3E, E] → GPT-J (wq, wk, wv), each [E, E].
+
+    CodeGen blocks the out dim as [mp_num=4, 3E/4] with section order
+    q, v, k inside each block (modeling_codegen.py torch.split order);
+    the reference converter does the identical reshape+split with a
+    functional sanity assert (convert_gptj_to_ggml.py:140-211)."""
+    assert w.shape == (3 * n_embd, n_embd), w.shape
+    blocks = w.reshape(4, 3 * (n_embd // 4), n_embd)
+    sec = n_embd // 4
+    q = blocks[:, 0 * sec: 1 * sec, :].reshape(n_embd, n_embd)
+    v = blocks[:, 1 * sec: 2 * sec, :].reshape(n_embd, n_embd)
+    k = blocks[:, 2 * sec: 3 * sec, :].reshape(n_embd, n_embd)
+    return q, k, v
+
+
 def _convert_gptj(sd, cfg: ModelConfig, cv: Converter) -> Dict[str, Any]:
     params: Dict[str, Any] = {
         "wte": cv.weight(_np(sd["transformer.wte.weight"])),
@@ -135,15 +151,22 @@ def _convert_gptj(sd, cfg: ModelConfig, cv: Converter) -> Dict[str, Any]:
     layers = []
     for i in range(cfg.n_layer):
         p = f"transformer.h.{i}."
+        if p + "attn.qkv_proj.weight" in sd:  # CodeGen checkpoint
+            wq, wk, wv = split_codegen_qkv(
+                _np(sd[p + "attn.qkv_proj.weight"]), E)
+        else:
+            wq = _np(sd[p + "attn.q_proj.weight"])
+            wk = _np(sd[p + "attn.k_proj.weight"])
+            wv = _np(sd[p + "attn.v_proj.weight"])
         layers.append({
             "ln1_w": _np(sd[p + "ln_1.weight"]),
             "ln1_b": _np(sd[p + "ln_1.bias"]),
             # GPT-J has a single LN; ln2 slots filled but unused
             "ln2_w": np.ones((E,), np.float32),
             "ln2_b": zeros_e,
-            "wq": _np(sd[p + "attn.q_proj.weight"]), "bq": zeros_e,
-            "wk": _np(sd[p + "attn.k_proj.weight"]), "bk": zeros_e,
-            "wv": _np(sd[p + "attn.v_proj.weight"]), "bv": zeros_e,
+            "wq": wq, "bq": zeros_e,
+            "wk": wk, "bk": zeros_e,
+            "wv": wv, "bv": zeros_e,
             "wo": _np(sd[p + "attn.out_proj.weight"]), "bo": zeros_e,
             "w_fc": _np(sd[p + "mlp.fc_in.weight"]),
             "b_fc": _np(sd[p + "mlp.fc_in.bias"]),

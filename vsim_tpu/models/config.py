@@ -72,6 +72,28 @@ class ModelConfig:
                 activation=hf_config.hidden_act,
                 ln_eps=hf_config.layer_norm_eps,
             )
+        if t == "codegen":
+            # CodeGen is GPT-J-architecture (the reference converts it to
+            # GPT-J layout, convert_gptj_to_ggml.py:121-211); fused qkv_proj
+            # is split by convert/hf.py
+            return ModelConfig(
+                arch="gptj",
+                n_vocab=hf_config.vocab_size,
+                n_ctx=n_ctx or hf_config.n_positions,
+                n_embd=hf_config.n_embd,
+                n_head=hf_config.n_head,
+                n_layer=hf_config.n_layer,
+                n_ff=hf_config.n_inner or 4 * hf_config.n_embd,
+                n_rot=hf_config.rotary_dim or (hf_config.n_embd // hf_config.n_head),
+                rotary_interleaved=True,
+                parallel_residual=True,
+                shared_layernorm=True,
+                qkv_bias=False,
+                attn_out_bias=False,
+                activation=hf_config.activation_function,
+                ln_eps=hf_config.layer_norm_epsilon,
+                final_logit_bias=True,
+            )
         if t == "gptj":
             return ModelConfig(
                 arch="gptj",
