@@ -1,0 +1,257 @@
+#!/usr/bin/env python
+"""Q4 kernel variant lab — measures effective HBM GB/s per variant on the
+real TPU to pick the production dequant strategy (ops/pallas_q4.py).
+
+FINDINGS (v5e, 2026-08-18) — read before re-tuning:
+  * The production kernel is VPU-dequant-bound, not DMA-bound: full-model
+    GPT-J-6B decode step time is insensitive to tile geometry
+    ((512,2048)/(1024,1024)/(2048,512)/(2048,256) all within 2%).
+  * The 16-bit "exponent bitcast" dequant (uint16 | 0x4300 → bf16 − 136)
+    is SLOWER end-to-end (17.8 ms vs 14.2 ms GPT-J step): the i32→u16
+    narrowing is a cross-lane relayout, and bf16 VPU ALU ops are not 2x
+    f32 on this core.  i32 unpack + sitofp + f32 mul (the production math)
+    wins on the real model.
+  * Microbench caveats baked in below: chain reps_in_step kernels per
+    dispatch (launch ≈ 0.2 ms swamps sub-ms kernels) and make every
+    variant consume the chained input (or XLA CSEs identical pure calls —
+    the 'dma' ceiling variant once measured 1.4 TB/s that way).
+  * Mosaic legalization gaps: no vector<i8> sub, no vector<i16> shift/and,
+    no u8→f32 cast.  Unpack must run in i32.
+
+Variants:
+  dma      — minimal-compute tile touch: the DMA ceiling for this tiling
+  cur      — production kernel (whatever ops/pallas_q4.py currently does)
+  i32      — int32 unpack, f32 mul (the original kernel's math)
+  u16      — 16-bit path: uint16 nibble | 0x4300, bitcast→bf16, -136, ×scale
+  i8f      — int8 unpack → bf16 convert → ×scale
+
+Each runs as a chained jit (output feeds next input) so steps serialize on
+device; differencing two chain lengths cancels the axon tunnel RTT.
+
+Usage: python tools/kernel_lab.py [--batch 16] [--sweep-blocks]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vsim_tpu.quant.q4 import QK, Q4Tensor
+
+
+def _expand_scales(s, tkh, to):
+    nb = s.shape[0]
+    return jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
+
+
+def _k_dma(xe_ref, xo_ref, p_ref, s_ref, o_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # touch the tile cheaply: one 8-row slice (keeps the HBM→VMEM copy live);
+    # Mosaic has no uint8→float32 cast, widen via int32.  xe participates so
+    # chained invocations depend on each other (defeats XLA CSE).
+    o_ref[0:8, :] += (p_ref[0:8, :].astype(jnp.int32).astype(jnp.float32)
+                      + s_ref[0:8, :].astype(jnp.float32)
+                      + xe_ref[0:8, 0:1].astype(jnp.float32))
+
+
+def _k_i32(xe_ref, xo_ref, p_ref, s_ref, o_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    lo = (p & 0x0F) - 8
+    hi = (p >> 4) - 8
+    s = s_ref[:].astype(jnp.float32)
+    tkh, to = p.shape
+    sexp = _expand_scales(s, tkh, to)
+    wlo = (lo.astype(jnp.float32) * sexp).astype(jnp.bfloat16)
+    whi = (hi.astype(jnp.float32) * sexp).astype(jnp.bfloat16)
+    acc = jnp.dot(xe_ref[:], wlo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], whi, preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def _k_u16(xe_ref, xo_ref, p_ref, s_ref, o_ref):
+    """Unpack in 32-bit (Mosaic legalizes no 16-bit shift/and), then narrow
+    to uint16 and finish in 16-bit lanes: bf16 bits (exp=134) 0x4300 | v
+    == 128 + v exactly for v in [0,15]."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    lo = jax.lax.bitcast_convert_type(
+        ((p & 0x0F) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(
+        ((p >> 4) | 0x4300).astype(jnp.uint16), jnp.bfloat16)
+    s = s_ref[:].astype(jnp.bfloat16)
+    tkh, to = p.shape
+    sexp = _expand_scales(s, tkh, to)
+    wlo = (lo - 136.0) * sexp
+    whi = (hi - 136.0) * sexp
+    acc = jnp.dot(xe_ref[:], wlo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], whi, preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def _k_f32x(xe_ref, xo_ref, p_ref, s_ref, o_ref):
+    """f32 mantissa-OR trick: 0x4B000000 | v == 2^23 + v exactly; saves the
+    int→float converts of the i32 path."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    magic = jnp.int32(0x4B000000)
+    lo = jax.lax.bitcast_convert_type((p & 0x0F) | magic, jnp.float32)
+    hi = jax.lax.bitcast_convert_type((p >> 4) | magic, jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    tkh, to = p.shape
+    sexp = _expand_scales(s, tkh, to)
+    off = jnp.float32(8388608.0 + 8.0)
+    wlo = ((lo - off) * sexp).astype(jnp.bfloat16)
+    whi = ((hi - off) * sexp).astype(jnp.bfloat16)
+    acc = jnp.dot(xe_ref[:], wlo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], whi, preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+KERNELS = {"dma": _k_dma, "i32": _k_i32, "u16": _k_u16, "f32x": _k_f32x}
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "block_o", "block_kh"))
+def variant_matmul(xe, xo, packed, scales, *, variant, block_o, block_kh):
+    N, half_k = xe.shape
+    O = packed.shape[1]
+    nb_per_tile = block_kh // (QK // 2)
+    grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
+    return pl.pallas_call(
+        KERNELS[variant],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, block_kh), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, block_kh), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_per_tile, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, block_o), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(xe, xo, packed, scales)
+
+
+def bench(O, K, batch, fn, iters=24, reps_in_step=8):
+    """reps_in_step chained kernel invocations per jit dispatch amortize the
+    per-dispatch launch overhead (~0.2 ms) below the kernel time."""
+    rng = np.random.default_rng(0)
+    w = Q4Tensor.from_dense_np(
+        rng.standard_normal((O, K)).astype(np.float32))
+    w = jax.device_put(w)
+    x0 = jnp.asarray(rng.standard_normal((batch, K)), jnp.bfloat16)
+    xe0, xo0 = x0[:, 0::2], x0[:, 1::2]
+
+    @jax.jit
+    def step(xe, xo):
+        for _ in range(reps_in_step):
+            y = fn(xe, xo, w.packed, w.scales)
+            d = (y[:, :1] * 1e-9).astype(jnp.bfloat16)
+            xe, xo = xe0 + d, xo0 + d
+        return xe, xo
+
+    xe, xo = step(xe0, xo0)
+    float(xe.sum())
+
+    def run(n):
+        xe, xo = xe0, xo0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            xe, xo = step(xe, xo)
+        float(xe.sum())
+        return time.perf_counter() - t0
+
+    run(4)
+    t_short = min(run(4) for _ in range(2))
+    t_long = min(run(iters) for _ in range(2))
+    per_step = (t_long - t_short) / (iters - 4) / reps_in_step
+    return per_step * 1e3, w.nbytes / per_step / 1e9
+
+
+def check_numerics(variant, block_o=512, block_kh=2048):
+    """Max |err| vs the f32 XLA oracle on a small case."""
+    from vsim_tpu.quant.q4 import dequantize_km
+
+    rng = np.random.default_rng(1)
+    O = K = 1024
+    w = jax.device_put(Q4Tensor.from_dense_np(
+        rng.standard_normal((O, K)).astype(np.float32)))
+    x = jnp.asarray(rng.standard_normal((8, K)), jnp.bfloat16)
+    ref = (x.astype(jnp.float32) @ dequantize_km(w, jnp.float32))
+    got = variant_matmul(
+        x[:, 0::2], x[:, 1::2], w.packed, w.scales,
+        variant=variant, block_o=min(block_o, O), block_kh=min(block_kh, K // 2))
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    return float(jnp.max(jnp.abs(got - ref))) / scale
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--sweep-blocks", action="store_true")
+    args = ap.parse_args()
+    print(f"device={jax.devices()[0].device_kind} batch={args.batch}",
+          flush=True)
+
+    # omitted variants (Mosaic legalization failures, measured 2026-08-18):
+    # i8f — no vector<i8> subtract; 16-bit-native unpack — no vector<i16>
+    # shift/and.  u16 therefore unpacks in i32 and narrows.
+    O, K = 4096, 4096
+    for v in ("dma", "i32", "u16", "f32x"):
+        for (bo, bkh) in ([(2048, 512), (2048, 256), (1024, 512),
+                           (4096, 512), (2048, 1024)]
+                          if args.sweep_blocks and v in ("u16", "f32x", "dma")
+                          else [(2048, 512)]):
+            try:
+                fn = functools.partial(variant_matmul, variant=v,
+                                       block_o=bo, block_kh=bkh)
+                ms, gbs = bench(O, K, args.batch, fn)
+                err = ("-" if v == "dma"
+                       else f"{check_numerics(v, bo, bkh):.2e}")
+                print(f"{v:4s} bo={bo:5d} bkh={bkh:5d}  {ms:7.3f} ms "
+                      f"{gbs:7.1f} GB/s  relerr={err}", flush=True)
+            except Exception as e:
+                print(f"{v:4s} bo={bo:5d} bkh={bkh:5d}  FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

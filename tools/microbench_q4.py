@@ -26,7 +26,8 @@ from vsim_tpu.quant.q4 import Q4Tensor
 from vsim_tpu.ops.matmul import q4_matmul
 
 
-def bench_shape(O, K, batch, impl, iters=32, dtype=jnp.bfloat16):
+def bench_shape(O, K, batch, impl, iters=24, reps_in_step=8,
+                dtype=jnp.bfloat16):
     rng = np.random.default_rng(0)
     w = Q4Tensor.from_dense_np(rng.standard_normal((O, K)).astype(np.float32))
     w = jax.device_put(w)
@@ -34,9 +35,12 @@ def bench_shape(O, K, batch, impl, iters=32, dtype=jnp.bfloat16):
 
     @jax.jit
     def step(x):
-        y = q4_matmul(x, w, impl=impl)
-        # feed the output back into the next input (serializes the chain)
-        return jnp.tile(y[:, :1].astype(dtype), (1, K)) * 1e-9 + x0
+        # reps_in_step chained matmuls per dispatch: per-dispatch launch
+        # overhead (~0.2 ms) would otherwise swamp sub-ms kernels
+        for _ in range(reps_in_step):
+            y = q4_matmul(x, w, impl=impl)
+            x = jnp.tile(y[:, :1].astype(dtype), (1, K)) * 1e-9 + x0
+        return x
 
     x = step(x0)  # compile
     float(x.sum())  # barrier
@@ -52,7 +56,7 @@ def bench_shape(O, K, batch, impl, iters=32, dtype=jnp.bfloat16):
     run(4)
     t_short = min(run(4) for _ in range(2))
     t_long = min(run(iters) for _ in range(2))
-    per_step = (t_long - t_short) / (iters - 4)
+    per_step = (t_long - t_short) / (iters - 4) / reps_in_step
     gbs = w.nbytes / per_step / 1e9
     return per_step * 1e3, gbs
 

@@ -99,18 +99,20 @@ class ServingEngine:
         @partial(jax.jit, donate_argnums=(1,), static_argnames=("kv_len",))
         def _prefill_slot(params, cache, ids_1t, slot, window, kv_len=None):
             """Prefill one slot: slice its cache rows out, run B=1, splice
-            back.  Returns (cache, first_logits [V], last_tokens row)."""
+            back.  Returns (cache, first_logits [V], last_tokens row).
+            tree-mapped so int8 caches ((values, scales) pairs — batch is
+            axis 1 in both) work unchanged."""
             zero = jnp.int32(0)
-            kslot = jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1)
-            vslot = jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
-            logits, sub = forward(
-                cfg, params, ids_1t, {"k": kslot, "v": vslot}, zero,
-                kv_len=kv_len)
-            k = jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], sub["k"], slot, axis=1)
-            v = jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], sub["v"], slot, axis=1)
-            return {"k": k, "v": v}, logits[0], window
+            sub_in = jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1),
+                cache)
+            logits, sub = forward(cfg, params, ids_1t, sub_in, zero,
+                                  kv_len=kv_len)
+            new_cache = jax.tree.map(
+                lambda full, s: jax.lax.dynamic_update_slice_in_dim(
+                    full, s, slot, axis=1),
+                cache, sub)
+            return new_cache, logits[0], window
 
         @partial(jax.jit, donate_argnums=(1,),
                  static_argnames=_STEP_STATIC + ("kv_len",))

@@ -41,6 +41,10 @@ class ModelConfig:
     # weight matmul, as the reference does in the matmul INIT phase
     # (ggml.c:5030-5038) — for bit-width-matched logits/ppl comparisons
     act_quant: bool = False
+    # blockwise (flash) attention for prefill-shaped steps (T >= 64, uniform
+    # n_past).  Inference-only: the Pallas kernel defines no VJP, so training
+    # keeps the einsum path.  See ops/attention.py.
+    use_flash: bool = False
 
     @property
     def head_dim(self) -> int:

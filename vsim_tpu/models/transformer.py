@@ -58,6 +58,69 @@ def alibi_slopes(n_head: int) -> jnp.ndarray:
     return jnp.asarray(slopes, dtype=jnp.float32)
 
 
+def _kv_quantize(new: jnp.ndarray, scale_dtype):
+    """Per-(token, head) symmetric int8 quantization of a [B, T, H, D] slice:
+    q = round(x / s), s = amax_D / 127.  Returns (int8 values, scales [B,T,H]).
+    Halves decode-step KV HBM traffic vs bf16 at ~1e-3 relative error — a
+    deliberate upgrade over the reference's always-f32 cache (vsim.cpp:349)."""
+    a = new.astype(jnp.float32)
+    s = jnp.max(jnp.abs(a), axis=-1) / 127.0  # [B, T, H]
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q = jnp.clip(jnp.round(a * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, s.astype(scale_dtype)
+
+
+def _kv_write(store, new, il, n_past, ragged, B, T):
+    """Insert a [B, T, H, D] slice into the stacked cache at layer il,
+    offset n_past (scalar, or [B] for ragged continuous batching).
+    ``store`` is either a plain array [L, B, S, H, D] or an int8 pair
+    ``(values int8 [L,B,S,H,D], scales [L,B,S,H])``."""
+    int8_kv = isinstance(store, tuple)
+    if int8_kv:
+        vals, scales = store
+        new_q, new_s = _kv_quantize(new, scales.dtype)
+    zero = jnp.int32(0)
+    if ragged:
+        S_tot = (store[0] if int8_kv else store).shape[2]  # noqa: N806
+        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B, 1]
+        s_dst = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        s_dst = jnp.clip(s_dst, 0, S_tot - 1)  # [B, T]
+        if int8_kv:
+            return (vals.at[il, b_idx, s_dst].set(new_q, mode="drop"),
+                    scales.at[il, b_idx, s_dst].set(new_s, mode="drop"))
+        return store.at[il, b_idx, s_dst].set(
+            new.astype(store.dtype), mode="drop")
+    if int8_kv:
+        return (
+            jax.lax.dynamic_update_slice(
+                vals, new_q[None], (il, zero, n_past, zero, zero)),
+            jax.lax.dynamic_update_slice(
+                scales, new_s[None], (il, zero, n_past, zero)),
+        )
+    return jax.lax.dynamic_update_slice(
+        store, new.astype(store.dtype)[None], (il, zero, n_past, zero, zero))
+
+
+def _kv_read(store, il, kv_len, dtype):
+    """Layer slice of the cache, dequantized to ``dtype``: [B, S, H, D].
+    Reads are fusable dynamic-slices — never a copy of the whole cache."""
+    int8_kv = isinstance(store, tuple)
+    arrs = store if int8_kv else (store,)
+    out = []
+    for a in arrs:
+        x = jax.lax.dynamic_index_in_dim(a, il, 0, keepdims=False)
+        if kv_len is not None and kv_len < x.shape[1]:
+            # KV-length bucketing: attend only over the valid cache prefix
+            # (static slice, engine-picked) instead of streaming all n_ctx
+            # slots every step like the reference (vsim.cpp:573-596)
+            x = jax.lax.slice_in_dim(x, 0, kv_len, axis=1)
+        out.append(x)
+    if int8_kv:
+        vals, scales = out
+        return vals.astype(dtype) * scales.astype(dtype)[..., None]
+    return out[0].astype(dtype)
+
+
 def _linear(x, w, b, compute_dtype, act_quant=False):
     if act_quant:
         from vsim_tpu.ops.matmul import q4_matmul_act_quant
@@ -104,40 +167,33 @@ def attention(
         # write ONLY the new [1, B, T, H, D] token slice into the carried
         # cache (aliased in-place by XLA); read the layer slice back as a
         # fusable dynamic-slice — never a copy of the whole layer cache.
-        kv_dtype = k_all.dtype
-        zero = jnp.int32(0)
-        if ragged:
-            # continuous batching: each sequence writes its T new slots at
-            # its own offset n_past[b] (scatter along S)
-            S_tot = k_all.shape[2]  # noqa: N806
-            b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B, 1]
-            s_dst = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-            s_dst = jnp.clip(s_dst, 0, S_tot - 1)  # [B, T]
-            k_all = k_all.at[il, b_idx, s_dst].set(
-                k.astype(kv_dtype), mode="drop")
-            v_all = v_all.at[il, b_idx, s_dst].set(
-                v.astype(kv_dtype), mode="drop")
-        else:
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v.astype(kv_dtype)[None], (il, zero, n_past, zero, zero)
-            )
-        keys = jax.lax.dynamic_index_in_dim(k_all, il, 0, keepdims=False)
-        values = jax.lax.dynamic_index_in_dim(v_all, il, 0, keepdims=False)
-        if kv_len is not None and kv_len < keys.shape[1]:
-            # KV-length bucketing: attend only over the valid cache prefix
-            # (static slice — the engine picks the bucket per decode chunk),
-            # instead of streaming all n_ctx slots every step like the
-            # reference (vsim.cpp:573-596 walks the full 512-slot view)
-            keys = jax.lax.slice_in_dim(keys, 0, kv_len, axis=1)
-            values = jax.lax.slice_in_dim(values, 0, kv_len, axis=1)
+        # int8 caches (kv_dtype="int8") quantize at insert and dequantize
+        # fused into the attention dots (_kv_quantize/_kv_read).
+        k_all = _kv_write(k_all, k, il, n_past, ragged, B, T)
+        v_all = _kv_write(v_all, v, il, n_past, ragged, B, T)
+        keys = _kv_read(k_all, il, kv_len, cdt)
+        values = _kv_read(v_all, il, kv_len, cdt)
     else:  # cache-free mode (training / perplexity eval over full sequences)
         keys, values = k, v
     S = keys.shape[1]
 
     scale = 1.0 / math.sqrt(D)
+
+    # blockwise (flash) attention for prefill-shaped steps: never
+    # materializes [B, H, T, S] (ops/attention.py).  Ragged decode and short
+    # chunks keep the einsum path (tiny T gains nothing from tiling).
+    if cfg.use_flash and not ragged and T >= 64 and S % 128 == 0:
+        from vsim_tpu.ops.attention import flash_attention
+
+        interp = jax.default_backend() != "tpu"
+        ctx = flash_attention(
+            q, keys, values, n_past=n_past, scale=scale, slopes=slopes,
+            block_q=min(256, T), block_s=min(512, S), interpret=interp,
+        ).astype(cdt).reshape(B, T, E)
+        out = _linear(ctx, lp["wo"], lp.get("bo"), cdt, cfg.act_quant)
+        out = constrain(out, "batch", "seq", "embed")
+        return out, k_all, v_all
+
     # feed the MXU its native input dtype (bf16 ~6x f32 rate on v5e) with
     # f32 accumulation; f32 compute_dtype mode keeps full-f32 parity
     scores = jnp.einsum(
@@ -329,10 +385,21 @@ def forward_nocache(cfg: ModelConfig, params: Params, token_ids: jnp.ndarray):
 
 def init_cache(
     cfg: ModelConfig, batch: int, n_ctx: Optional[int] = None, dtype=None
-) -> Dict[str, jnp.ndarray]:
+) -> Dict[str, Any]:
     """Preallocated KV cache (reference: memory_k/v, vsim.cpp:349-366 — but
-    [L,B,S,H,D] and configurable dtype instead of flat f32)."""
+    [L,B,S,H,D] and configurable dtype instead of flat f32).
+
+    ``dtype`` (or cfg.kv_dtype) of int8 stores each side as a pair
+    ``(values int8 [L,B,S,H,D], scales bf16 [L,B,S,H])`` — per-(token, head)
+    symmetric quantization, half the decode-step KV HBM traffic of bf16."""
     S = n_ctx or cfg.n_ctx
     dt = jnp.dtype(dtype or cfg.kv_dtype)
     shape = (cfg.n_layer, batch, S, cfg.n_head, cfg.head_dim)
+    if dt == jnp.int8:
+        return {
+            "k": (jnp.zeros(shape, jnp.int8),
+                  jnp.zeros(shape[:-1], jnp.bfloat16)),
+            "v": (jnp.zeros(shape, jnp.int8),
+                  jnp.zeros(shape[:-1], jnp.bfloat16)),
+        }
     return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}

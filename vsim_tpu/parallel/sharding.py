@@ -88,10 +88,16 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
-def cache_pspec(mesh: Mesh) -> Dict[str, P]:
-    """KV cache [L, B, S, H, D]: batch over data, heads over model."""
-    s = P(None, AXIS_DATA, None, AXIS_MODEL, None)
-    return {"k": s, "v": s}
+def cache_pspec(mesh: Mesh, cache=None) -> Dict[str, Any]:
+    """KV cache [L, B, S, H, D]: batch over data, heads over model.
+
+    For an int8 cache (models/transformer.py:init_cache), each side is a
+    ``(values, scales [L,B,S,H])`` pair — scales shard congruently."""
+    s5 = P(None, AXIS_DATA, None, AXIS_MODEL, None)
+    if cache is not None and isinstance(cache.get("k"), tuple):
+        s4 = P(None, AXIS_DATA, None, AXIS_MODEL)
+        return {"k": (s5, s4), "v": (s5, s4)}
+    return {"k": s5, "v": s5}
 
 
 def _to_sharding_tree(spec_tree, mesh: Mesh):
@@ -110,7 +116,7 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_cache(cache, mesh: Mesh):
-    specs = cache_pspec(mesh)
+    specs = cache_pspec(mesh, cache)
     return jax.device_put(cache, _to_sharding_tree(specs, mesh))
 
 
@@ -118,5 +124,5 @@ def param_shardings(params, mesh: Mesh):
     return _to_sharding_tree(param_pspecs(params, mesh), mesh)
 
 
-def cache_shardings(mesh: Mesh):
-    return _to_sharding_tree(cache_pspec(mesh), mesh)
+def cache_shardings(mesh: Mesh, cache=None):
+    return _to_sharding_tree(cache_pspec(mesh, cache), mesh)
