@@ -33,11 +33,17 @@ def main() -> int:
 
     ap.add_argument("--model", default="gpt-j-6b", choices=sorted(_PRESETS))
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
-    ap.add_argument("--batch", type=int, default=16,
-                    help="decode batch (continuous-batching serving shape)")
+    ap.add_argument("--batch", type=int, default=32,
+                    help="decode batch (continuous-batching serving shape; "
+                    "B=32 w/ int8 KV measured best on v5e 16G — B=64 OOMs "
+                    "at n_ctx 512)")
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=8)
     ap.add_argument("--n-ctx", type=int, default=512)  # reference n_ctx (vsim.cpp:758)
+    ap.add_argument("--kv", default="int8",
+                    choices=["bfloat16", "float32", "int8"],
+                    help="KV cache dtype (int8 halves decode KV traffic; "
+                    "+4.5%% tokens/s at B=16, enables B=32 in HBM)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -58,7 +64,7 @@ def main() -> int:
     set_default_impl(args.impl)
 
     cfg = PRESETS[args.model].replace(
-        n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype="bfloat16"
+        n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype=args.kv
     )
     params = random_q4_params(cfg, seed=0)
     params = jax.device_put(params)
@@ -152,6 +158,7 @@ def main() -> int:
             "model": args.model,
             "impl": args.impl,
             "batch": args.batch,
+            "kv_dtype": args.kv,
             "weight_bytes": wbytes,
             "speed_of_light_tokens_per_s_b1": round(sol_tps, 2),
             "decode_p50_ms_b1": round(p50_ms, 3) if p50_ms else None,

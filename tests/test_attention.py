@@ -89,3 +89,66 @@ def test_flash_in_model_prefill():
                      init_cache(cfg, 1), 0, kv_len=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_flash_vjp_matches_oracle_grads():
+    """Flash backward (custom VJP) vs autodiff through the einsum oracle."""
+    B, T, S, H, D = 1, 128, 128, 2, 64
+    q, k, v = _qkv(B, T, S, H, D, seed=11)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, n_past=0, block_q=64, block_s=64,
+                            interpret=INTERPRET)
+        return jnp.sum(o * o)
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, n_past=0)
+        return jnp.sum(o * o)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, exp in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_vjp_alibi_noncausal_grads():
+    B, T, S, H, D = 1, 64, 128, 4, 64
+    q, k, v = _qkv(B, T, S, H, D, seed=13)
+    slopes = alibi_slopes(H)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=False, slopes=slopes,
+                            block_q=64, block_s=64, interpret=INTERPRET)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, causal=False, slopes=slopes)
+        return jnp.sum(jnp.sin(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, exp in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_vjp_offset_grads():
+    """n_past offset (decode-against-cache shape) backward parity."""
+    B, T, S, H, D = 2, 64, 192, 2, 64
+    q, k, v = _qkv(B, T, S, H, D, seed=17)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, n_past=128, block_q=64, block_s=64,
+                            interpret=INTERPRET)
+        return jnp.sum(o)
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, n_past=128)
+        return jnp.sum(o)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, exp in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=2e-4, atol=2e-4)

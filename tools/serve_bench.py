@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Continuous-batching serving benchmark (ServingEngine) on the real TPU.
+
+The BASELINE.md north star includes "oasst-pythia-12b INT4, continuous
+batching"; this measures the serving engine end to end on a mixed workload:
+staggered arrivals, mixed prompt lengths, per-request n_predict.  Reports
+aggregate decoded tokens/s, time-to-first-token, and per-step latency.
+
+Usage:
+  python tools/serve_bench.py [--model gpt-j-6b] [--max-batch 16]
+                              [--requests 32] [--tokens 48] [--kv int8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    from vsim_tpu.models.config import PRESETS
+
+    ap.add_argument("--model", default="gpt-j-6b", choices=sorted(PRESETS))
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--tokens", type=int, default=48)
+    ap.add_argument("--kv", default="int8",
+                    choices=["bfloat16", "float32", "int8"])
+    ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    from vsim_tpu.engine.sampling import SamplingParams
+    from vsim_tpu.engine.serving import ServingEngine
+    from vsim_tpu.models.init import random_q4_params
+
+    cfg = PRESETS[args.model].replace(
+        n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype=args.kv)
+    params = jax.device_put(random_q4_params(cfg, seed=0))
+
+    rng = np.random.default_rng(args.seed)
+    prompts = [
+        list(rng.integers(1, min(cfg.n_vocab, 1000),
+                          size=int(rng.integers(4, 65))))
+        for _ in range(args.requests)
+    ]
+
+    eng = ServingEngine(cfg, params, max_batch=args.max_batch,
+                        n_ctx=args.n_ctx,
+                        sampling=SamplingParams(greedy=True), seed=args.seed)
+
+    # warm the compile caches (prefill buckets + step) with two requests
+    eng.run(prompts[:2], n_predict=4, stop_tokens=())
+
+    t0 = time.perf_counter()
+    for p in prompts:
+        eng.submit(p, args.tokens, stop_tokens=())
+    step_times = []
+    while eng._queue or eng._active:
+        t1 = time.perf_counter()
+        eng.step()
+        step_times.append(time.perf_counter() - t1)
+    wall = time.perf_counter() - t0
+
+    reqs = list(eng._results.values())
+    n_tok = sum(len(r.generated) for r in reqs)
+    ttft = sorted(r.first_token_s - r.submitted_s for r in reqs)
+    result = {
+        "metric": f"serving_tokens_per_s_{args.model.replace('-', '_')}",
+        "value": round(n_tok / wall, 3),
+        "unit": "tokens/s/chip",
+        "extra": {
+            "model": args.model,
+            "kv_dtype": args.kv,
+            "max_batch": args.max_batch,
+            "requests": args.requests,
+            "tokens_per_request": args.tokens,
+            "total_tokens": n_tok,
+            "wall_s": round(wall, 3),
+            "ttft_p50_s": round(ttft[len(ttft) // 2], 4),
+            "ttft_p99_s": round(ttft[min(len(ttft) - 1,
+                                         int(len(ttft) * 0.99))], 4),
+            "step_ms_p50": round(
+                1e3 * float(np.median(step_times)), 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
