@@ -1,0 +1,139 @@
+"""Fused decode-attention kernel vs the XLA einsum oracle.
+
+The kernel (ops/decode_attention.py) collapses the reference's per-token
+KQ/mask/softmax/KQV graph chain (vsim.cpp:573-615) into one VMEM pass over
+the stacked int8 KV cache.  Run here in interpret mode on the CPU mesh —
+the same strategy the reference used for its CGRA code (`.emax7nc`
+software emulation, SURVEY.md §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vsim_tpu.models.transformer import _kv_write, init_cache
+from vsim_tpu.models.config import ModelConfig
+from vsim_tpu.ops.decode_attention import (
+    decode_attention_int8,
+    decode_attention_oracle,
+    set_decode_kernel,
+)
+
+
+def _mk_cache(L, B, H, S, D, n_fill, seed=0):
+    """int8 cache with n_fill real positions per (layer, batch)."""
+    cfg = ModelConfig(arch="gptneox", n_vocab=32, n_ctx=S, n_embd=H * D,
+                      n_head=H, n_layer=L, n_ff=16, n_rot=0, kv_dtype="int8")
+    cache = init_cache(cfg, B)
+    rng = np.random.default_rng(seed)
+    k_all, v_all = cache["k"], cache["v"]
+    for il in range(L):
+        new_k = jnp.asarray(rng.standard_normal((B, n_fill, H, D)),
+                            jnp.float32)
+        new_v = jnp.asarray(rng.standard_normal((B, n_fill, H, D)),
+                            jnp.float32)
+        k_all = _kv_write(k_all, new_k, jnp.int32(il), jnp.int32(0), False,
+                          B, n_fill)
+        v_all = _kv_write(v_all, new_v, jnp.int32(il), jnp.int32(0), False,
+                          B, n_fill)
+    return k_all, v_all
+
+
+@pytest.mark.parametrize("n_past", [0, 5, 63])
+def test_kernel_matches_oracle(n_past):
+    L, B, H, S, D = 2, 2, 4, 128, 128
+    k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=n_past + 1)
+    rng = np.random.default_rng(42)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    for il in range(L):
+        ref = decode_attention_oracle(
+            q, k_all, v_all, il, n_past, kv_len=S, scale=D ** -0.5)
+        got = decode_attention_int8(
+            q, k_all, v_all, jnp.int32(il), jnp.int32(n_past), kv_len=S,
+            scale=D ** -0.5, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_ragged_n_past():
+    L, B, H, S, D = 1, 3, 2, 256, 128
+    k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=100)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    n_past = jnp.asarray([3, 57, 99], jnp.int32)
+    ref = decode_attention_oracle(
+        q, k_all, v_all, 0, n_past, kv_len=S, scale=D ** -0.5)
+    got = decode_attention_int8(
+        q, k_all, v_all, jnp.int32(0), n_past, kv_len=S,
+        scale=D ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_kv_len_bucket():
+    """kv_len < S must slice the attended prefix like the einsum path."""
+    L, B, H, S, D = 1, 1, 2, 256, 128
+    k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=60)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    ref = decode_attention_oracle(
+        q, k_all, v_all, 0, 59, kv_len=128, scale=D ** -0.5)
+    got = decode_attention_int8(
+        q, k_all, v_all, jnp.int32(0), jnp.int32(59), kv_len=128,
+        scale=D ** -0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_alibi():
+    L, B, H, S, D = 1, 1, 4, 128, 128
+    k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=40)
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    from vsim_tpu.models.transformer import alibi_slopes
+
+    sl = alibi_slopes(H)
+    ref = decode_attention_oracle(
+        q, k_all, v_all, 0, 39, kv_len=S, scale=D ** -0.5, slopes=sl)
+    got = decode_attention_int8(
+        q, k_all, v_all, jnp.int32(0), jnp.int32(39), kv_len=S,
+        scale=D ** -0.5, slopes=sl, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_forward_integration_kernel_vs_einsum():
+    """Full decode step through models/transformer.forward with the kernel
+    forced on vs off — logits must agree."""
+    from vsim_tpu.models.init import init_params
+    from vsim_tpu.models.transformer import forward
+
+    cfg = ModelConfig(arch="gptneox", n_vocab=64, n_ctx=128, n_embd=256,
+                      n_head=2, n_layer=2, n_ff=128, n_rot=32,
+                      kv_dtype="int8")
+    params = init_params(cfg, seed=0, quantize=False)
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+
+    def run():
+        cache = init_cache(cfg, 1)
+        logits, cache = forward(cfg, params, ids, cache, 0, kv_len=128)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        outs = []
+        for step in range(4):
+            logits, cache = forward(cfg, params, tok[:, None], cache,
+                                    jnp.int32(8 + step), kv_len=128)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            outs.append(np.asarray(logits))
+        return outs
+
+    set_decode_kernel("off")
+    try:
+        ref = run()
+    finally:
+        set_decode_kernel("on")
+    try:
+        got = run()
+    finally:
+        set_decode_kernel("auto")
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=2e-2, atol=2e-2)

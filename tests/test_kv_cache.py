@@ -28,8 +28,9 @@ def test_int8_cache_structure():
     cache = init_cache(CFG, batch=2, dtype="int8")
     vals, scales = cache["k"]
     assert vals.dtype == jnp.int8
-    assert vals.shape == (CFG.n_layer, 2, 128, CFG.n_head, CFG.head_dim)
-    assert scales.shape == (CFG.n_layer, 2, 128, CFG.n_head)
+    # head-major layout: [L, B, H, S, D] (transpose-free attention reads)
+    assert vals.shape == (CFG.n_layer, 2, CFG.n_head, 128, CFG.head_dim)
+    assert scales.shape == (CFG.n_layer, 2, CFG.n_head, 128)
 
 
 def test_int8_prefill_logits_close():

@@ -59,12 +59,12 @@ def alibi_slopes(n_head: int) -> jnp.ndarray:
 
 
 def _kv_quantize(new: jnp.ndarray, scale_dtype):
-    """Per-(token, head) symmetric int8 quantization of a [B, T, H, D] slice:
-    q = round(x / s), s = amax_D / 127.  Returns (int8 values, scales [B,T,H]).
+    """Per-(token, head) symmetric int8 quantization of a [B, H, T, D] slice:
+    q = round(x / s), s = amax_D / 127.  Returns (int8 values, scales [B,H,T]).
     Halves decode-step KV HBM traffic vs bf16 at ~1e-3 relative error — a
     deliberate upgrade over the reference's always-f32 cache (vsim.cpp:349)."""
     a = new.astype(jnp.float32)
-    s = jnp.max(jnp.abs(a), axis=-1) / 127.0  # [B, T, H]
+    s = jnp.max(jnp.abs(a), axis=-1) / 127.0  # [B, H, T]
     inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
     q = jnp.clip(jnp.round(a * inv[..., None]), -127, 127).astype(jnp.int8)
     return q, s.astype(scale_dtype)
@@ -73,47 +73,57 @@ def _kv_quantize(new: jnp.ndarray, scale_dtype):
 def _kv_write(store, new, il, n_past, ragged, B, T):
     """Insert a [B, T, H, D] slice into the stacked cache at layer il,
     offset n_past (scalar, or [B] for ragged continuous batching).
-    ``store`` is either a plain array [L, B, S, H, D] or an int8 pair
-    ``(values int8 [L,B,S,H,D], scales [L,B,S,H])``."""
+    ``store`` is either a plain array [L, B, H, S, D] or an int8 pair
+    ``(values int8 [L,B,H,S,D], scales [L,B,H,S])``.
+
+    The cache is **head-major** ([.., H, S, D], not the write-natural
+    [.., S, H, D]) so the attention reads — the decode hot path, streamed
+    every step — are contiguous per (batch, head) and the score/value
+    einsums need no S↔H transposes; only the tiny new [B,T,H,D] slice is
+    transposed at insert."""
     int8_kv = isinstance(store, tuple)
+    new = jnp.swapaxes(new, 1, 2)  # [B, H, T, D]
     if int8_kv:
         vals, scales = store
         new_q, new_s = _kv_quantize(new, scales.dtype)
     zero = jnp.int32(0)
     if ragged:
-        S_tot = (store[0] if int8_kv else store).shape[2]  # noqa: N806
-        b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B, 1]
-        s_dst = n_past[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        s_dst = jnp.clip(s_dst, 0, S_tot - 1)  # [B, T]
+        S_tot = (store[0] if int8_kv else store).shape[3]  # noqa: N806
+        H = new.shape[1]  # noqa: N806
+        b_ix = jnp.arange(B, dtype=jnp.int32)[:, None, None]  # [B,1,1]
+        h_ix = jnp.arange(H, dtype=jnp.int32)[None, :, None]  # [1,H,1]
+        s_dst = n_past[:, None, None] \
+            + jnp.arange(T, dtype=jnp.int32)[None, None, :]  # [B,1,T]
+        s_dst = jnp.clip(s_dst, 0, S_tot - 1)
         if int8_kv:
-            return (vals.at[il, b_idx, s_dst].set(new_q, mode="drop"),
-                    scales.at[il, b_idx, s_dst].set(new_s, mode="drop"))
-        return store.at[il, b_idx, s_dst].set(
+            return (vals.at[il, b_ix, h_ix, s_dst].set(new_q, mode="drop"),
+                    scales.at[il, b_ix, h_ix, s_dst].set(new_s, mode="drop"))
+        return store.at[il, b_ix, h_ix, s_dst].set(
             new.astype(store.dtype), mode="drop")
     if int8_kv:
         return (
             jax.lax.dynamic_update_slice(
-                vals, new_q[None], (il, zero, n_past, zero, zero)),
+                vals, new_q[None], (il, zero, zero, n_past, zero)),
             jax.lax.dynamic_update_slice(
-                scales, new_s[None], (il, zero, n_past, zero)),
+                scales, new_s[None], (il, zero, zero, n_past)),
         )
     return jax.lax.dynamic_update_slice(
-        store, new.astype(store.dtype)[None], (il, zero, n_past, zero, zero))
+        store, new.astype(store.dtype)[None], (il, zero, zero, n_past, zero))
 
 
 def _kv_read(store, il, kv_len, dtype):
-    """Layer slice of the cache, dequantized to ``dtype``: [B, S, H, D].
+    """Layer slice of the cache, dequantized to ``dtype``: [B, H, S, D].
     Reads are fusable dynamic-slices — never a copy of the whole cache."""
     int8_kv = isinstance(store, tuple)
     arrs = store if int8_kv else (store,)
     out = []
     for a in arrs:
         x = jax.lax.dynamic_index_in_dim(a, il, 0, keepdims=False)
-        if kv_len is not None and kv_len < x.shape[1]:
+        if kv_len is not None and kv_len < x.shape[2]:
             # KV-length bucketing: attend only over the valid cache prefix
             # (static slice, engine-picked) instead of streaming all n_ctx
             # slots every step like the reference (vsim.cpp:573-596)
-            x = jax.lax.slice_in_dim(x, 0, kv_len, axis=1)
+            x = jax.lax.slice_in_dim(x, 0, kv_len, axis=2)
         out.append(x)
     if int8_kv:
         vals, scales = out
@@ -137,7 +147,7 @@ def attention(
     cfg: ModelConfig,
     lp: Params,
     h: jnp.ndarray,  # [B, T, E] (already layernormed)
-    k_all: Optional[jnp.ndarray],  # [L, B, S, H, D] whole-model cache
+    k_all: Optional[jnp.ndarray],  # [L, B, H, S, D] whole-model cache
     v_all: Optional[jnp.ndarray],
     il: jnp.ndarray,  # int32 layer index into the cache
     positions: jnp.ndarray,  # int32 [B, T]
@@ -164,18 +174,41 @@ def attention(
                        base=cfg.rope_base)
 
     if k_all is not None:
-        # write ONLY the new [1, B, T, H, D] token slice into the carried
+        # write ONLY the new [1, B, H, T, D] token slice into the carried
         # cache (aliased in-place by XLA); read the layer slice back as a
         # fusable dynamic-slice — never a copy of the whole layer cache.
         # int8 caches (kv_dtype="int8") quantize at insert and dequantize
         # fused into the attention dots (_kv_quantize/_kv_read).
         k_all = _kv_write(k_all, k, il, n_past, ragged, B, T)
         v_all = _kv_write(v_all, v, il, n_past, ragged, B, T)
-        keys = _kv_read(k_all, il, kv_len, cdt)
+
+        # single-token decode over an int8 cache: fused Pallas kernel —
+        # dequant + mask + online softmax + PV in one VMEM pass, the whole
+        # stacked cache indexed by scalar-prefetched layer id (KV bytes
+        # stream exactly once; ragged n_past supported).
+        from vsim_tpu.ops.decode_attention import (
+            decode_kernel_enabled,
+            decode_attention_int8,
+        )
+
+        if (isinstance(k_all, tuple) and T == 1
+                and D % 128 == 0 and decode_kernel_enabled()):
+            scale = 1.0 / math.sqrt(D)
+            ctx = decode_attention_int8(
+                q, k_all, v_all, il, n_past, kv_len=kv_len, scale=scale,
+                slopes=slopes,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(cdt).reshape(B, T, E)
+            out = _linear(ctx, lp["wo"], lp.get("bo"), cdt, cfg.act_quant)
+            out = constrain(out, "batch", "seq", "embed")
+            return out, k_all, v_all
+
+        keys = _kv_read(k_all, il, kv_len, cdt)  # [B, H, S, D]
         values = _kv_read(v_all, il, kv_len, cdt)
     else:  # cache-free mode (training / perplexity eval over full sequences)
-        keys, values = k, v
-    S = keys.shape[1]
+        keys = jnp.swapaxes(k, 1, 2)  # [B, H, S, D]
+        values = jnp.swapaxes(v, 1, 2)
+    S = keys.shape[2]
 
     scale = 1.0 / math.sqrt(D)
 
@@ -189,15 +222,17 @@ def attention(
         ctx = flash_attention(
             q, keys, values, n_past=n_past, scale=scale, slopes=slopes,
             block_q=min(256, T), block_s=min(512, S), interpret=interp,
+            kv_transposed=True,
         ).astype(cdt).reshape(B, T, E)
         out = _linear(ctx, lp["wo"], lp.get("bo"), cdt, cfg.act_quant)
         out = constrain(out, "batch", "seq", "embed")
         return out, k_all, v_all
 
     # feed the MXU its native input dtype (bf16 ~6x f32 rate on v5e) with
-    # f32 accumulation; f32 compute_dtype mode keeps full-f32 parity
+    # f32 accumulation; f32 compute_dtype mode keeps full-f32 parity.
+    # keys/values are head-major [B, H, S, D]: transpose-free contractions.
     scores = jnp.einsum(
-        "bthd,bshd->bhts",
+        "bthd,bhsd->bhts",
         q,
         keys.astype(q.dtype),
         preferred_element_type=jnp.float32,
@@ -221,7 +256,7 @@ def attention(
 
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum(
-        "bhts,bshd->bthd",
+        "bhts,bhsd->bthd",
         probs.astype(cdt),
         values.astype(cdt),
         preferred_element_type=jnp.float32,
@@ -286,7 +321,7 @@ def forward(
     cfg: ModelConfig,
     params: Params,
     token_ids: jnp.ndarray,  # int32 [B, T]
-    cache: Optional[Dict[str, jnp.ndarray]],  # {"k","v": [L, B, S, H, D]} | None
+    cache: Optional[Dict[str, jnp.ndarray]],  # {"k","v": [L, B, H, S, D]} | None
     n_past: jnp.ndarray = 0,  # int32 scalar, or [B] for continuous batching
     kv_len: Optional[int] = None,  # STATIC: attended-cache length bucket
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
@@ -387,14 +422,15 @@ def init_cache(
     cfg: ModelConfig, batch: int, n_ctx: Optional[int] = None, dtype=None
 ) -> Dict[str, Any]:
     """Preallocated KV cache (reference: memory_k/v, vsim.cpp:349-366 — but
-    [L,B,S,H,D] and configurable dtype instead of flat f32).
+    head-major [L,B,H,S,D] and configurable dtype instead of flat f32; see
+    _kv_write for why head-major).
 
     ``dtype`` (or cfg.kv_dtype) of int8 stores each side as a pair
-    ``(values int8 [L,B,S,H,D], scales bf16 [L,B,S,H])`` — per-(token, head)
+    ``(values int8 [L,B,H,S,D], scales bf16 [L,B,H,S])`` — per-(token, head)
     symmetric quantization, half the decode-step KV HBM traffic of bf16."""
     S = n_ctx or cfg.n_ctx
     dt = jnp.dtype(dtype or cfg.kv_dtype)
-    shape = (cfg.n_layer, batch, S, cfg.n_head, cfg.head_dim)
+    shape = (cfg.n_layer, batch, cfg.n_head, S, cfg.head_dim)
     if dt == jnp.int8:
         return {
             "k": (jnp.zeros(shape, jnp.int8),

@@ -398,8 +398,8 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 def flash_attention(
     q: jnp.ndarray,  # [B, T, H, D]
-    k: jnp.ndarray,  # [B, S, H, D]
-    v: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,  # [B, S, H, D] (or [B, H, S, D] with kv_transposed)
+    v: jnp.ndarray,  # like k
     *,
     n_past=0,  # int32 scalar cache offset
     scale: Optional[float] = None,
@@ -408,19 +408,27 @@ def flash_attention(
     block_q: int = 256,
     block_s: int = 512,
     interpret: bool = False,
+    kv_transposed: bool = False,
 ) -> jnp.ndarray:
     """Blockwise attention over already-roped q against the K/V prefix.
 
     Returns [B, T, H, D].  Equivalent to the masked-softmax einsum path in
     models/transformer.py:attention but without materializing [B, H, T, S].
     Differentiable (custom flash VJP) w.r.t. q, k, v.
+
+    ``kv_transposed``: k/v already arrive head-major [B, H, S, D] — the KV
+    cache's storage layout (models/transformer.py:init_cache) — skipping
+    the S↔H relayout copy.
     """
     B, T, H, D = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     qt = jnp.swapaxes(q, 1, 2)  # [B, H, T, D]
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
+    if kv_transposed:
+        kt, vt = k, v
+    else:
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
     if slopes is None:
         sl = jnp.zeros((H, 1), jnp.float32)
         alibi = False

@@ -89,13 +89,14 @@ def param_pspecs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def cache_pspec(mesh: Mesh, cache=None) -> Dict[str, Any]:
-    """KV cache [L, B, S, H, D]: batch over data, heads over model.
+    """KV cache [L, B, H, S, D] (head-major): batch over data, heads over
+    model.
 
     For an int8 cache (models/transformer.py:init_cache), each side is a
-    ``(values, scales [L,B,S,H])`` pair — scales shard congruently."""
-    s5 = P(None, AXIS_DATA, None, AXIS_MODEL, None)
+    ``(values, scales [L,B,H,S])`` pair — scales shard congruently."""
+    s5 = P(None, AXIS_DATA, AXIS_MODEL, None, None)
     if cache is not None and isinstance(cache.get("k"), tuple):
-        s4 = P(None, AXIS_DATA, None, AXIS_MODEL)
+        s4 = P(None, AXIS_DATA, AXIS_MODEL, None)
         return {"k": (s5, s4), "v": (s5, s4)}
     return {"k": s5, "v": s5}
 
