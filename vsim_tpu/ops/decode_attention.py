@@ -118,7 +118,7 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_s", "interpret", "alibi"),
+    static_argnames=("scale", "kv_len", "block_s", "interpret", "alibi"),
 )
 def _decode_attn_call(
     il: jnp.ndarray,  # int32 [1]
@@ -131,14 +131,22 @@ def _decode_attn_call(
     v_s: jnp.ndarray,
     *,
     scale: float,
+    kv_len: int,
     block_s: int,
     interpret: bool,
     alibi: bool,
 ):
     B, H, D = q.shape
     S = k_q.shape[3]
-    ts = min(block_s, S)
-    grid = (B, pl.cdiv(S, ts))
+    # bound the S-walk by the static kv_len bucket via the GRID, not by
+    # slicing the operands: pallas_call operands are materialized buffers,
+    # so a lax.slice of the stacked [L,B,H,S,D] cache would copy the whole
+    # sliced cache (all layers!) on every per-layer call — measured as
+    # ~79 ms/step of pure copy at B=32 on GPT-J-6B.  Tiles past kv_len are
+    # simply never visited.
+    S_eff = min(kv_len, S) if kv_len is not None else S
+    ts = min(block_s, S_eff)
+    grid = (B, pl.cdiv(S_eff, ts))
 
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale, ts=ts, alibi=alibi),
@@ -194,12 +202,6 @@ def decode_attention_int8(
     assert T == 1, "decode kernel is single-token; prefill uses flash/einsum"
     k_q, k_s = k_store
     v_q, v_s = v_store
-    S = k_q.shape[3]
-    if kv_len is not None and kv_len < S:
-        k_q = jax.lax.slice_in_dim(k_q, 0, kv_len, axis=3)
-        k_s = jax.lax.slice_in_dim(k_s, 0, kv_len, axis=3)
-        v_q = jax.lax.slice_in_dim(v_q, 0, kv_len, axis=3)
-        v_s = jax.lax.slice_in_dim(v_s, 0, kv_len, axis=3)
 
     n_past = jnp.asarray(n_past, jnp.int32)
     if n_past.ndim == 0:
@@ -210,8 +212,8 @@ def decode_attention_int8(
     out = _decode_attn_call(
         jnp.asarray(il, jnp.int32).reshape(1), n_past, sl,
         q[:, 0].astype(jnp.bfloat16), k_q, k_s, v_q, v_s,
-        scale=float(scale), block_s=block_s, interpret=interpret,
-        alibi=alibi,
+        scale=float(scale), kv_len=kv_len, block_s=block_s,
+        interpret=interpret, alibi=alibi,
     )
     return out[:, None]
 
