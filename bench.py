@@ -33,10 +33,10 @@ def main() -> int:
 
     ap.add_argument("--model", default="gpt-j-6b", choices=sorted(_PRESETS))
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "xla"])
-    ap.add_argument("--batch", type=int, default=32,
+    ap.add_argument("--batch", type=int, default=64,
                     help="decode batch (continuous-batching serving shape; "
-                    "B=32 w/ int8 KV measured best on v5e 16G — B=64 OOMs "
-                    "at n_ctx 512)")
+                    "B=64 w/ int8 KV = 7.5 GB GPT-J cache at n_ctx 512 on "
+                    "v5e 16G; B=96 fits but leaves <1.5 GB headroom)")
     ap.add_argument("--tokens", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=8)
     ap.add_argument("--n-ctx", type=int, default=512)  # reference n_ctx (vsim.cpp:758)
@@ -87,7 +87,10 @@ def main() -> int:
     def timed_loop(B, n_steps, reps=3):
         times = []
         ids = jnp.asarray([prompt] * B, jnp.int32)
+        cache = None
         for _ in range(reps):
+            cache = None  # release the previous rep's cache first (at B=64
+            # two live GPT-J KV caches = 15 GB and the chip has 16)
             cache = engine.new_cache(B)
             logits, cache = engine._prefill(engine.params, ids, cache, 0,
                                             kv_len=len(prompt))

@@ -74,6 +74,11 @@ class InferenceEngine:
         if isinstance(lm, _Q4) and lm.out_features % 256:
             self.params = dict(params, lm_head=lm.pad_out(256))
 
+        if cfg.fuse_qkv:
+            from vsim_tpu.models.init import fuse_qkv_params
+
+            self.params = fuse_qkv_params(cfg, self.params)
+
         donate = (2,) if donate_cache else ()
 
         @partial(jax.jit, donate_argnums=donate, static_argnames=("kv_len",))

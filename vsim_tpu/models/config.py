@@ -45,6 +45,10 @@ class ModelConfig:
     # n_past).  Inference-only: the Pallas kernel defines no VJP, so training
     # keeps the einsum path.  See ops/attention.py.
     use_flash: bool = False
+    # fuse wq/wk/wv into one head-interleaved w_qkv at engine load
+    # (models/init.py:fuse_qkv_params) — one weight stream per layer
+    # instead of three on the decode hot path
+    fuse_qkv: bool = True
 
     @property
     def head_dim(self) -> int:

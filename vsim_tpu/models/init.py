@@ -169,3 +169,51 @@ def param_bytes(params) -> int:
     for leaf in jax.tree.leaves(params):
         total += leaf.size * leaf.dtype.itemsize
     return total
+
+
+def fuse_qkv_params(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse per-layer wq/wk/wv (+bq/bk/bv) into one head-interleaved
+    ``w_qkv`` [L, K/2, 3E] (+``b_qkv`` [L, 3E]).
+
+    One fused matmul replaces three per layer on the decode hot path: each
+    Pallas dispatch costs ~15 us of launch + activation-deinterleave overhead
+    (tools/microbench_q4.py), so 28 layers x 2 saved dispatches ~= 0.8 ms of
+    a ~12 ms GPT-J-6B step.  The reference keeps q/k/v separate because its
+    converter split them (convert_gptneox_to_ggml.py:109-183); checkpoints
+    and converters here stay in the split layout — this is a load-time
+    device-side transform (InferenceEngine applies it when cfg.fuse_qkv).
+
+    Column order per head h: [q_h | k_h | v_h], so tensor-parallel sharding
+    over the output axis still splits on head boundaries and attention
+    recovers q/k/v with one reshape [B,T,H,3,D] (no cross-shard gather).
+    """
+    layers = dict(params["layers"])
+    if "w_qkv" in layers or "wq" not in layers:
+        return params
+    H, D = cfg.n_head, cfg.head_dim
+    wq, wk, wv = (layers.pop(k) for k in ("wq", "wk", "wv"))
+
+    def mix_last(a, b, c):
+        """Interleave the E-sized last axis of three arrays into 3E."""
+        lead = a.shape[:-1]
+        stk = jnp.stack(
+            [x.reshape(*lead, H, D) for x in (a, b, c)], axis=-2
+        )  # [..., H, 3, D]
+        return stk.reshape(*lead, 3 * H * D)
+
+    if isinstance(wq, Q4Tensor):
+        layers["w_qkv"] = Q4Tensor(
+            packed=mix_last(wq.packed, wk.packed, wv.packed),
+            scales=mix_last(wq.scales, wk.scales, wv.scales),
+        )
+    else:
+        # dense stacked [L, O, K]: interleave the output axis
+        stk = jnp.stack(
+            [x.reshape(x.shape[0], H, D, x.shape[-1]) for x in (wq, wk, wv)],
+            axis=2,
+        )  # [L, H, 3, D, K]
+        layers["w_qkv"] = stk.reshape(wq.shape[0], 3 * H * D, wq.shape[-1])
+    if all(k in layers for k in ("bq", "bk", "bv")):
+        layers["b_qkv"] = mix_last(
+            *(layers.pop(k) for k in ("bq", "bk", "bv")))
+    return dict(params, layers=layers)

@@ -160,9 +160,19 @@ def attention(
     cdt = h.dtype
     ragged = n_past.ndim == 1  # per-sequence cache lengths
 
-    q = _linear(h, lp["wq"], lp.get("bq"), cdt, cfg.act_quant).reshape(B, T, H, D)
-    k = _linear(h, lp["wk"], lp.get("bk"), cdt, cfg.act_quant).reshape(B, T, H, D)
-    v = _linear(h, lp["wv"], lp.get("bv"), cdt, cfg.act_quant).reshape(B, T, H, D)
+    if "w_qkv" in lp:
+        # fused head-interleaved qkv projection (models/init.py:
+        # fuse_qkv_params) — one weight stream + one dispatch instead of 3
+        qkv = _linear(h, lp["w_qkv"], lp.get("b_qkv"), cdt, cfg.act_quant)
+        qkv = qkv.reshape(B, T, H, 3, D)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    else:
+        q = _linear(h, lp["wq"], lp.get("bq"), cdt,
+                    cfg.act_quant).reshape(B, T, H, D)
+        k = _linear(h, lp["wk"], lp.get("bk"), cdt,
+                    cfg.act_quant).reshape(B, T, H, D)
+        v = _linear(h, lp["wv"], lp.get("bv"), cdt,
+                    cfg.act_quant).reshape(B, T, H, D)
     q = constrain(q, "batch", None, "heads", None)
     k = constrain(k, "batch", None, "heads", None)
     v = constrain(v, "batch", None, "heads", None)

@@ -122,17 +122,28 @@ def _pallas_q4_matmul_2d(
 
 def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
     """VMEM-budget tile sizes.  Packed tile = block_kh × block_o bytes;
-    keep ≲ 1 MB with double buffering, lanes multiple of 128, sublanes
-    multiple of 32 (uint8 tiling) and of 16 blocks (scale alignment)."""
-    block_o = min(O, 512)
-    while O % block_o:
-        block_o //= 2
-    block_kh = min(half_k, 2048)
+    keep ≲ 2 MB (double-buffered by the grid pipeline), lanes multiple of
+    128, sublanes multiple of 32 (uint8 tiling) and of 16 blocks (scale
+    alignment).
+
+    Prefer a K-grid of ONE: the x blocks' index map depends on the k step,
+    so every extra k step re-DMAs the activations once per o step — for
+    GPT-J's 4096x16384 proj at batch 32 that re-streamed ~32 MB of x per
+    call, measured 319 GB/s vs 438 on the equal-byte k-grid-1 fc shape.
+    x stays resident only while N·half_k is small (decode), else cap the
+    k tile.
+
+    Tile AREA stays at 1M elements: the kernel's dequant temporaries (i32
+    widened bytes + f32/bf16 planes) cost ~10x the packed tile bytes of
+    scoped VMEM, so 2M-element tiles blow the 16 MB limit.  Tall tiles
+    (block_kh up) shrink the k-grid without growing the area."""
+    kh_cap = 8192 if n <= 32 else 2048  # x VMEM bytes = 4·n·block_kh
+    block_kh = min(half_k, kh_cap)
     while half_k % block_kh:
         block_kh //= 2
-    # shrink to fit ~2MB packed tile
-    while block_kh * block_o > 2 * 1024 * 1024 and block_kh > 256:
-        block_kh //= 2
+    block_o = min(O, max(128, (1 << 20) // block_kh))
+    while O % block_o:
+        block_o //= 2
     return block_o, block_kh
 
 

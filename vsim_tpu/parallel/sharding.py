@@ -26,9 +26,9 @@ from vsim_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL
 from vsim_tpu.quant.q4 import Q4Tensor
 
 # weight-name → which logical dim is sharded
-_ROW_PARALLEL = {"wq", "wk", "wv", "w_fc"}  # shard O (output rows)
+_ROW_PARALLEL = {"wq", "wk", "wv", "w_qkv", "w_fc"}  # shard O (output rows)
 _COL_PARALLEL = {"wo", "w_proj"}  # shard K (contraction)
-_ROW_BIAS = {"bq", "bk", "bv", "b_fc"}
+_ROW_BIAS = {"bq", "bk", "bv", "b_qkv", "b_fc"}
 _VOCAB = {"wte", "lm_head"}
 
 
