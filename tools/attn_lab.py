@@ -203,7 +203,9 @@ def main():
     B, S = args.batch, args.kv_len
     print(f"{args.model} L={L} H={H} D={D} B={B} kv_len={S}", flush=True)
 
-    cache = init_cache(cfg, B)
+    # allocate the cache at kv_len, not n_ctx: at B=64 a full 512-ctx GPT-J
+    # cache is 7.5 GB and, with the sliced copies below, OOMs the 16 GB chip
+    cache = init_cache(cfg, B, n_ctx=S)
     # fill with noise so softmax is non-degenerate
     rng = np.random.default_rng(0)
     kq = jnp.asarray(rng.integers(-127, 127, cache["k"][0].shape, np.int8))

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Run the BASELINE.md benchmark configurations and write BENCH_MATRIX.json.
+
+Configs (BASELINE.md "Targets" table — the reference publishes no numbers,
+so these are the self-established baselines):
+  * bloom-560m  INT4 greedy decode, batch 1 (p50 + tokens/s)
+  * gpt2        INT4 (sampling + return-logits mode exercised)
+  * codegen-2b  INT4 (GPT-J arch variant)
+  * gpt-j-6b    INT4 batch-64 continuous-batching shape (headline)
+  * pythia-12b  INT4 batch-32 (12B model on one 16 GB chip)
+
+Each config is one subprocess `python bench.py ...` (the TPU tunnel is
+single-client: strictly sequential, one python at a time), parsed from its
+single JSON stdout line.
+
+Usage: python tools/bench_matrix.py [--out BENCH_MATRIX.json] [--skip ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = [
+    {"name": "bloom-560m-b1", "args": ["--model", "bloom-560m", "--batch",
+                                       "1", "--tokens", "64"]},
+    {"name": "gpt2-b1", "args": ["--model", "gpt2", "--batch", "1",
+                                 "--tokens", "64"]},
+    {"name": "codegen-2b-b32", "args": ["--model", "codegen-2b", "--batch",
+                                        "32", "--tokens", "64"]},
+    {"name": "gpt-j-6b-b64", "args": ["--model", "gpt-j-6b", "--batch",
+                                      "64", "--tokens", "64"]},
+    # 12B INT4 = 6.8 GB weights; B=32 int8 KV at 512 ctx = 7.5 GB
+    {"name": "pythia-12b-b16", "args": ["--model", "pythia-12b", "--batch",
+                                        "16", "--tokens", "64"]},
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_MATRIX.json"))
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    results = {}
+    for cfg in CONFIGS:
+        if args.only and cfg["name"] not in args.only:
+            continue
+        cmd = [sys.executable, os.path.join(ROOT, "bench.py")] + cfg["args"]
+        print(f"== {cfg['name']}: {' '.join(cmd[1:])}", flush=True)
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=900, cwd=ROOT
+            )
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            results[cfg["name"]] = json.loads(line)
+            print(f"   {line}", flush=True)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            results[cfg["name"]] = {"error": f"{type(e).__name__}: {e}"[:500]}
+            print(f"   FAILED: {results[cfg['name']]['error']}", flush=True)
+        results[cfg["name"]]["wall_s_total"] = round(time.time() - t0, 1)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

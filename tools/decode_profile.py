@@ -35,7 +35,7 @@ def chain_time(step_fn, params, init, reps=8, n_short=2, n_long=10):
     RTT.  ``params`` rides as an explicit argument (a closure would bake
     3.4 GB of weights into the executable as constants)."""
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
     def loop(params, carry, n):
         def body(c, _):
             return step_fn(params, c), None
@@ -44,7 +44,10 @@ def chain_time(step_fn, params, init, reps=8, n_short=2, n_long=10):
         return carry
 
     def run(n):
-        c = loop(params, init, n=n)
+        # the loop donates its carry (two live GPT-J KV caches OOM a 16 GB
+        # chip), so hand it a fresh copy of init each run; the copy cost is
+        # constant and cancels in the two-length differencing
+        c = loop(params, jax.tree.map(jnp.copy, init), n=n)
         leaf = jax.tree.leaves(c)[0]
         float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
 
@@ -68,6 +71,11 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--kv-len", type=int, default=128)
     ap.add_argument("--kv", default="int8", choices=["int8", "bfloat16"])
+    ap.add_argument("--n-ctx", type=int, default=0,
+                    help="cache allocation length (0 = 2*kv_len; the chain "
+                    "loop donates its carry but each run still holds init + "
+                    "one working copy, so a full 512-ctx GPT-J cache at "
+                    "B=64 OOMs the 16 GB chip)")
     args = ap.parse_args()
 
     from vsim_tpu.engine.sampling import sample_jax
@@ -76,7 +84,8 @@ def main():
     from vsim_tpu.models.transformer import forward, init_cache
 
     cfg = PRESETS[args.model].replace(
-        n_ctx=512, compute_dtype="bfloat16", kv_dtype=args.kv
+        n_ctx=args.n_ctx or max(256, 2 * args.kv_len),
+        compute_dtype="bfloat16", kv_dtype=args.kv
     )
     B, S = args.batch, args.kv_len
     L, H, D, E, F = (cfg.n_layer, cfg.n_head, cfg.head_dim, cfg.n_embd,
@@ -122,12 +131,24 @@ def main():
 
         def body(c, _):
             h, il = c
-            q = q4_matmul(h, Q4Layer(lw["wq"], il), compute_dtype=jnp.bfloat16)
-            k = q4_matmul(h, Q4Layer(lw["wk"], il), compute_dtype=jnp.bfloat16)
-            v = q4_matmul(h, Q4Layer(lw["wv"], il), compute_dtype=jnp.bfloat16)
-            o = q4_matmul(q.astype(jnp.bfloat16) + k.astype(jnp.bfloat16)
-                          + v.astype(jnp.bfloat16),
-                          Q4Layer(lw["wo"], il), compute_dtype=jnp.bfloat16)
+            if "w_qkv" in lw:  # engine params are qkv-fused
+                qkv = q4_matmul(h, Q4Layer(lw["w_qkv"], il),
+                                compute_dtype=jnp.bfloat16)
+                E3 = qkv.shape[-1]  # noqa: N806
+                qkv = qkv.astype(jnp.bfloat16).reshape(*qkv.shape[:-1],
+                                                       E3 // 3, 3)
+                mix = jnp.sum(qkv, axis=-1)
+            else:
+                q = q4_matmul(h, Q4Layer(lw["wq"], il),
+                              compute_dtype=jnp.bfloat16)
+                k = q4_matmul(h, Q4Layer(lw["wk"], il),
+                              compute_dtype=jnp.bfloat16)
+                v = q4_matmul(h, Q4Layer(lw["wv"], il),
+                              compute_dtype=jnp.bfloat16)
+                mix = (q.astype(jnp.bfloat16) + k.astype(jnp.bfloat16)
+                       + v.astype(jnp.bfloat16))
+            o = q4_matmul(mix, Q4Layer(lw["wo"], il),
+                          compute_dtype=jnp.bfloat16)
             f = q4_matmul(h + o.astype(jnp.bfloat16),
                           Q4Layer(lw["w_fc"], il), compute_dtype=jnp.bfloat16)
             p = q4_matmul(f.astype(jnp.bfloat16),

@@ -7,8 +7,8 @@ forward where every sequence sits at its own cache offset (ragged ``n_past``
 vector — models/transformer.py), so one HBM sweep of the Q4 weights serves
 ``max_batch`` tokens.
 
-Scheme (vLLM-style slots without paging — the cache is a dense
-[L, max_batch, n_ctx, H, D] block):
+Scheme (vLLM-style slots without paging — the cache is a dense head-major
+[L, max_batch, H, n_ctx, D] block):
   * ``submit()`` queues a request; a free slot is claimed and the prompt is
     prefilled into that slot's cache rows (B=1 slice in/out, so prefill cost
     does not scale with max_batch).
@@ -73,6 +73,10 @@ class ServingEngine:
         lm = params.get("lm_head")
         if isinstance(lm, _Q4) and lm.out_features % 256:
             params = dict(params, lm_head=lm.pad_out(256))
+        if cfg.fuse_qkv:
+            from vsim_tpu.models.init import fuse_qkv_params
+
+            params = fuse_qkv_params(cfg, params)
         self.params = params
         self.max_batch = max_batch
         self.n_ctx = n_ctx or cfg.n_ctx

@@ -189,15 +189,22 @@ class SpeculativeEngine:
 
         from vsim_tpu.quant.q4 import Q4Tensor as _Q4
 
+        from vsim_tpu.models.init import fuse_qkv_params
+
         lm = params.get("lm_head")
         if isinstance(lm, _Q4) and lm.out_features % 256:
             params = dict(params, lm_head=lm.pad_out(256))
+        if cfg.fuse_qkv:
+            params = fuse_qkv_params(cfg, params)
         self.params = params
         dp = getattr(drafter, "params", None)
         if dp is not None:
             dlm = dp.get("lm_head")
             if isinstance(dlm, _Q4) and dlm.out_features % 256:
-                drafter.params = dict(dp, lm_head=dlm.pad_out(256))
+                dp = dict(dp, lm_head=dlm.pad_out(256))
+            if getattr(drafter, "cfg", cfg).fuse_qkv:
+                dp = fuse_qkv_params(getattr(drafter, "cfg", cfg), dp)
+            drafter.params = dp
 
         gamma = self.gamma
 
