@@ -20,10 +20,11 @@ from vsim_tpu.ops.decode_attention import (
 )
 
 
-def _mk_cache(L, B, H, S, D, n_fill, seed=0):
-    """int8 cache with n_fill real positions per (layer, batch)."""
+def _mk_cache(L, B, H, S, D, n_fill, seed=0, kv_dtype="int8"):
+    """Quantized cache with n_fill real positions per (layer, batch)."""
     cfg = ModelConfig(arch="gptneox", n_vocab=32, n_ctx=S, n_embd=H * D,
-                      n_head=H, n_layer=L, n_ff=16, n_rot=0, kv_dtype="int8")
+                      n_head=H, n_layer=L, n_ff=16, n_rot=0,
+                      kv_dtype=kv_dtype)
     cache = init_cache(cfg, B)
     rng = np.random.default_rng(seed)
     k_all, v_all = cache["k"], cache["v"]
@@ -53,6 +54,62 @@ def test_kernel_matches_oracle(n_past):
             scale=D ** -0.5, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("n_past", [0, 63])
+def test_kernel_matches_oracle_int4(n_past):
+    """Plane-packed int4 store: kernel unpack must equal the XLA dequant."""
+    L, B, H, S, D = 2, 2, 2, 128, 256
+    k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=n_past + 1,
+                             kv_dtype="int4")
+    assert k_all[0].dtype == jnp.uint8
+    rng = np.random.default_rng(42)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    for il in range(L):
+        ref = decode_attention_oracle(
+            q, k_all, v_all, il, n_past, kv_len=S, scale=D ** -0.5)
+        got = decode_attention_int8(
+            q, k_all, v_all, jnp.int32(il), jnp.int32(n_past), kv_len=S,
+            scale=D ** -0.5, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_forward_integration_int4_kernel_vs_einsum():
+    """Full int4-KV decode steps with the kernel on vs off must agree
+    (head_dim 256 satisfies the packed-lane gate D % 256 == 0)."""
+    from vsim_tpu.models.init import init_params
+    from vsim_tpu.models.transformer import forward, init_cache
+
+    cfg = ModelConfig(arch="gptneox", n_vocab=64, n_ctx=128, n_embd=512,
+                      n_head=2, n_layer=2, n_ff=128, n_rot=32,
+                      kv_dtype="int4")
+    params = init_params(cfg, seed=0, quantize=False)
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+
+    def run():
+        cache = init_cache(cfg, 1)
+        logits, cache = forward(cfg, params, ids, cache, 0, kv_len=128)
+        tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        outs = []
+        for step in range(3):
+            logits, cache = forward(cfg, params, tok[:, None], cache,
+                                    jnp.int32(8 + step), kv_len=128)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            outs.append(np.asarray(logits))
+        return outs
+
+    set_decode_kernel("off")
+    try:
+        ref = run()
+    finally:
+        set_decode_kernel("on")
+    try:
+        got = run()
+    finally:
+        set_decode_kernel("auto")
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, rtol=2e-2, atol=2e-2)
 
 
 def test_kernel_ragged_n_past():

@@ -70,6 +70,56 @@ def test_int8_engine_generates():
     assert got[0] == exp[0]
 
 
+def test_int4_cache_structure():
+    cache = init_cache(CFG, batch=2, dtype="int4")
+    vals, scales = cache["k"]
+    assert vals.dtype == jnp.uint8  # plane-packed nibbles
+    assert vals.shape == (CFG.n_layer, 2, CFG.n_head, 128, CFG.head_dim // 2)
+    assert scales.shape == (CFG.n_layer, 2, CFG.n_head, 128)
+
+
+def test_int4_quantize_error_bound():
+    """Dequant error per element is bounded by half the per-(token,head)
+    step s = amax/7 (the Q4_0 formula family, ggml.c:229)."""
+    from vsim_tpu.models.transformer import _kv_quantize4
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, 64)), jnp.float32)
+    p, s = _kv_quantize4(x, jnp.float32)
+    lo = (p.astype(jnp.int32) & 0x0F) - 8
+    hi = (p.astype(jnp.int32) >> 4) - 8
+    deq = (jnp.concatenate([lo, hi], -1).astype(jnp.float32)
+           * s[..., None])
+    err = np.abs(np.asarray(deq) - np.asarray(x))
+    bound = np.asarray(s)[..., None] * 0.5 + 1e-5
+    assert (err <= bound).all()
+
+
+def test_int4_prefill_logits_close():
+    ids = jnp.asarray(np.arange(1, 17)[None, :], jnp.int32)
+    ref, _ = _run("float32", ids)
+    got, _ = _run("int4", ids)
+    # int4 KV step is amax/7 — an order looser than int8's amax/127, so the
+    # bound is statistical: logits RMS error small vs the logit spread, and
+    # the distribution's peak preserved at every position
+    r = np.asarray(ref, np.float64)
+    g = np.asarray(got, np.float64)
+    rms = np.sqrt(np.mean((g - r) ** 2))
+    assert rms < 0.15 * r.std(), (rms, r.std())
+    # the f32-argmax token must stay within a near-tie margin of the int4
+    # peak at every position (random-weight logits have many exact ties, so
+    # strict argmax equality is not a meaningful bound)
+    ref_peak = np.take_along_axis(g, r.argmax(-1)[..., None], -1)[..., 0]
+    assert (g.max(-1) - ref_peak < 0.25).all(), (g.max(-1) - ref_peak).max()
+
+
+def test_int4_engine_generates():
+    eng = InferenceEngine(CFG, PARAMS, kv_dtype="int4")
+    sp = SamplingParams(greedy=True)
+    got = eng.generate([1, 2, 3, 4, 5], n_predict=8, sampling=sp).token_ids
+    assert len(got) == 8
+
+
 def test_int8_ragged_serving():
     from vsim_tpu.engine.serving import ServingEngine
 

@@ -83,8 +83,12 @@ class InferenceEngine:
 
         @partial(jax.jit, donate_argnums=donate, static_argnames=("kv_len",))
         def _prefill(params, token_ids, cache, n_past, kv_len=None):
+            # fresh_kv: the engine always prefills the whole prompt from an
+            # empty cache (n_past=0), so attention can use this chunk's own
+            # full-precision k/v — no quantized-cache read-back (see
+            # models/transformer.py:attention)
             logits, cache = forward(cfg, params, token_ids, cache, n_past,
-                                    kv_len=kv_len)
+                                    kv_len=kv_len, fresh_kv=True)
             return logits, cache
 
         def _one_step(params, token, cache, n_past, last_tokens, key, sk,

@@ -111,7 +111,7 @@ class ServingEngine:
                 lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1),
                 cache)
             logits, sub = forward(cfg, params, ids_1t, sub_in, zero,
-                                  kv_len=kv_len)
+                                  kv_len=kv_len, fresh_kv=True)
             new_cache = jax.tree.map(
                 lambda full, s: jax.lax.dynamic_update_slice_in_dim(
                     full, s, slot, axis=1),

@@ -269,7 +269,7 @@ class SpeculativeEngine:
         @partial(jax.jit, donate_argnums=(2,), static_argnames=("kv_len",))
         def _prefill_target(params, ids, cache, kv_len):
             return forward(self.cfg, params, ids, cache, jnp.int32(0),
-                           kv_len=kv_len)
+                           kv_len=kv_len, fresh_kv=True)
 
         self._prefill_target = _prefill_target
 
@@ -278,7 +278,7 @@ class SpeculativeEngine:
             @partial(jax.jit, donate_argnums=(2,), static_argnames=("kv_len",))
             def _prefill_draft(params, ids, cache, kv_len):
                 _, c = forward(dcfg, params, ids, cache, jnp.int32(0),
-                               kv_len=kv_len)
+                               kv_len=kv_len, fresh_kv=True)
                 return c
 
             self._prefill_draft = _prefill_draft

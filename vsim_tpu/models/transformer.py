@@ -70,6 +70,30 @@ def _kv_quantize(new: jnp.ndarray, scale_dtype):
     return q, s.astype(scale_dtype)
 
 
+def _kv_quantize4(new: jnp.ndarray, scale_dtype):
+    """Per-(token, head) symmetric int4 quantization, plane-packed along D
+    (Q4_0 math at group size D: s = amax/7, offset-8 nibbles — same formula
+    family as the weight format, ggml.c:229-240).  Byte c of the packed
+    [B, H, T, D/2] output holds dims c (low nibble) and c + D/2 (high) so
+    dequant is two nibble planes **concatenated along lanes** in natural dim
+    order — no cross-lane interleave anywhere.  Quarter the KV HBM bytes of
+    bf16: lifts the max decode batch a 16 GB chip can hold (the aggregate-
+    throughput lever) at ~2% attention-output RMS error."""
+    a = new.astype(jnp.float32)
+    s = jnp.max(jnp.abs(a), axis=-1) / 7.0  # [B, H, T]
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    q = (jnp.clip(jnp.round(a * inv[..., None]), -7, 7).astype(jnp.int32) + 8)
+    D = q.shape[-1]  # noqa: N806
+    packed = q[..., : D // 2] | (q[..., D // 2:] << 4)
+    return packed.astype(jnp.uint8), s.astype(scale_dtype)
+
+
+def _is_packed4(store) -> bool:
+    """int4 cache marker: the values side of the pair is plane-packed uint8
+    (int8 caches store int8 values)."""
+    return isinstance(store, tuple) and store[0].dtype == jnp.uint8
+
+
 def _kv_write(store, new, il, n_past, ragged, B, T):
     """Insert a [B, T, H, D] slice into the stacked cache at layer il,
     offset n_past (scalar, or [B] for ragged continuous batching).
@@ -85,7 +109,8 @@ def _kv_write(store, new, il, n_past, ragged, B, T):
     new = jnp.swapaxes(new, 1, 2)  # [B, H, T, D]
     if int8_kv:
         vals, scales = store
-        new_q, new_s = _kv_quantize(new, scales.dtype)
+        quantize = _kv_quantize4 if _is_packed4(store) else _kv_quantize
+        new_q, new_s = quantize(new, scales.dtype)
     zero = jnp.int32(0)
     if ragged:
         S_tot = (store[0] if int8_kv else store).shape[3]  # noqa: N806
@@ -127,6 +152,10 @@ def _kv_read(store, il, kv_len, dtype):
         out.append(x)
     if int8_kv:
         vals, scales = out
+        if _is_packed4(store):  # int4: unpack the two nibble planes
+            p = vals.astype(jnp.int32)
+            v = jnp.concatenate([(p & 0x0F) - 8, (p >> 4) - 8], axis=-1)
+            return v.astype(dtype) * scales.astype(dtype)[..., None]
         return vals.astype(dtype) * scales.astype(dtype)[..., None]
     return out[0].astype(dtype)
 
@@ -154,6 +183,7 @@ def attention(
     n_past: jnp.ndarray,  # int32 scalar OR [B] (ragged continuous batching)
     slopes: Optional[jnp.ndarray],
     kv_len: Optional[int] = None,  # static attended-cache length bucket
+    fresh_kv: bool = False,  # static: attend over this chunk's own k/v
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     B, T, E = h.shape
     H, D = cfg.n_head, cfg.head_dim
@@ -201,8 +231,11 @@ def attention(
             decode_attention_int8,
         )
 
-        if (isinstance(k_all, tuple) and T == 1
-                and D % 128 == 0 and decode_kernel_enabled()):
+        # kernel tile alignment: the packed minor dim must be a lane multiple
+        # (D for int8, D/2 for plane-packed int4)
+        d_min = 256 if _is_packed4(k_all) else 128
+        if (isinstance(k_all, tuple) and T == 1 and not fresh_kv
+                and D % d_min == 0 and decode_kernel_enabled()):
             scale = 1.0 / math.sqrt(D)
             ctx = decode_attention_int8(
                 q, k_all, v_all, il, n_past, kv_len=kv_len, scale=scale,
@@ -213,8 +246,20 @@ def attention(
             out = constrain(out, "batch", "seq", "embed")
             return out, k_all, v_all
 
-        keys = _kv_read(k_all, il, kv_len, cdt)  # [B, H, S, D]
-        values = _kv_read(v_all, il, kv_len, cdt)
+        if fresh_kv:
+            # Self-contained prefill (n_past == 0 by contract): attend over
+            # this chunk's own unquantized k/v instead of reading back the
+            # just-written cache.  Two wins: (a) prefill attention sees full-
+            # precision keys/values (no int8/int4 round-trip); (b) no XLA op
+            # ever reads the whole packed cache — at B >= 128 the dequant
+            # einsum otherwise makes layout assignment flip the cache batch-
+            # minor and copy its entire 2x footprint at entry (observed 7 GB
+            # OOMing GPT-J-6B int4 B=128 prefill).
+            keys = jnp.swapaxes(k, 1, 2)  # [B, H, T, D]
+            values = jnp.swapaxes(v, 1, 2)
+        else:
+            keys = _kv_read(k_all, il, kv_len, cdt)  # [B, H, S, D]
+            values = _kv_read(v_all, il, kv_len, cdt)
     else:  # cache-free mode (training / perplexity eval over full sequences)
         keys = jnp.swapaxes(k, 1, 2)  # [B, H, S, D]
         values = jnp.swapaxes(v, 1, 2)
@@ -297,12 +342,14 @@ def decoder_layer(
     n_past: jnp.ndarray,
     slopes: Optional[jnp.ndarray],
     kv_len: Optional[int] = None,
+    fresh_kv: bool = False,
 ):
     """One decoder block.  Residual topology per arch (vsim.cpp:627-708 for
     NeoX parallel/sequential; GPT-J shares one LN; BLOOM/GPT-2 sequential)."""
     h1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
     attn_out, k_all, v_all = attention(
-        cfg, lp, h1, k_all, v_all, il, positions, n_past, slopes, kv_len
+        cfg, lp, h1, k_all, v_all, il, positions, n_past, slopes, kv_len,
+        fresh_kv,
     )
 
     if cfg.parallel_residual:
@@ -334,6 +381,7 @@ def forward(
     cache: Optional[Dict[str, jnp.ndarray]],  # {"k","v": [L, B, H, S, D]} | None
     n_past: jnp.ndarray = 0,  # int32 scalar, or [B] for continuous batching
     kv_len: Optional[int] = None,  # STATIC: attended-cache length bucket
+    fresh_kv: bool = False,  # STATIC: prefill-from-empty self-attention
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Full forward: token ids → logits [B, T, n_vocab] + updated KV cache.
 
@@ -341,7 +389,10 @@ def forward(
     A vector ``n_past`` gives each sequence its own cache length (the ragged
     decode step of the continuous-batching serving engine).  ``kv_len``
     (static) bounds how much of the cache attention reads — the engine
-    buckets it so short sequences don't stream the whole n_ctx cache."""
+    buckets it so short sequences don't stream the whole n_ctx cache.
+    ``fresh_kv=True`` (valid only when n_past == 0 and the whole prompt is in
+    this chunk) writes the cache but attends over the chunk's own
+    full-precision k/v — see attention()."""
     cdt = jnp.dtype(cfg.compute_dtype)
     B, T = token_ids.shape
     n_past = jnp.asarray(n_past, jnp.int32)
@@ -389,7 +440,7 @@ def forward(
             x, k_all, v_all, il = carry
             x, k_all, v_all = decoder_layer(
                 cfg, layer_params(xs_slice, il), x, k_all, v_all, il,
-                positions, n_past, slopes, kv_len
+                positions, n_past, slopes, kv_len, fresh_kv
             )
             return (x, k_all, v_all, il + 1), None
 
@@ -437,10 +488,21 @@ def init_cache(
 
     ``dtype`` (or cfg.kv_dtype) of int8 stores each side as a pair
     ``(values int8 [L,B,H,S,D], scales bf16 [L,B,H,S])`` — per-(token, head)
-    symmetric quantization, half the decode-step KV HBM traffic of bf16."""
+    symmetric quantization, half the decode-step KV HBM traffic of bf16.
+    int4 plane-packs two dims per byte (``values uint8 [L,B,H,S,D/2]``) —
+    quarter of bf16, doubling the decode batch that fits HBM."""
     S = n_ctx or cfg.n_ctx
     dt = jnp.dtype(dtype or cfg.kv_dtype)
     shape = (cfg.n_layer, batch, cfg.n_head, S, cfg.head_dim)
+    if dt == jnp.dtype("int4"):
+        assert cfg.head_dim % 2 == 0, "int4 KV needs an even head_dim"
+        pshape = shape[:-1] + (cfg.head_dim // 2,)
+        return {
+            "k": (jnp.zeros(pshape, jnp.uint8),
+                  jnp.zeros(shape[:-1], jnp.bfloat16)),
+            "v": (jnp.zeros(pshape, jnp.uint8),
+                  jnp.zeros(shape[:-1], jnp.bfloat16)),
+        }
     if dt == jnp.int8:
         return {
             "k": (jnp.zeros(shape, jnp.int8),

@@ -60,8 +60,17 @@ def decode_kernel_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _unpack4(p):
+    """Plane-packed int4 tile [.., ts, Dp] uint8 → [.., ts, 2*Dp] f32: low
+    nibbles are dims [0, Dp), high nibbles [Dp, 2*Dp) — a lane-axis concat in
+    natural dim order, no interleave (see transformer._kv_quantize4)."""
+    p = p.astype(jnp.int32)
+    return jnp.concatenate([(p & 0x0F) - 8, (p >> 4) - 8],
+                           axis=-1).astype(jnp.float32)
+
+
 def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-            o_ref, m_ref, l_ref, acc_ref, *, scale, ts, alibi):
+            o_ref, m_ref, l_ref, acc_ref, *, scale, ts, alibi, packed4):
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_js = pl.num_programs(1)
@@ -76,7 +85,8 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
     def live():
         q = q_ref[0].astype(jnp.float32)  # [H, D]
-        kq = kq_ref[0, 0].astype(jnp.float32)  # [H, ts, D]
+        kq = (_unpack4(kq_ref[0, 0]) if packed4
+              else kq_ref[0, 0].astype(jnp.float32))  # [H, ts, D]
         ks = ks_ref[0, 0].astype(jnp.float32)  # [H, ts]
         # dequant fused: scores[h, s] = scale * sum_d q[h,d] * kq[h,s,d]*ks
         # (scale the [H, ts] dot output by ks instead of the [H, ts, D]
@@ -101,7 +111,8 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                                                         keepdims=True)
         m_ref[:, 0:1] = m_new
 
-        vq = vq_ref[0, 0].astype(jnp.float32)  # [H, ts, D]
+        vq = (_unpack4(vq_ref[0, 0]) if packed4
+              else vq_ref[0, 0].astype(jnp.float32))  # [H, ts, D]
         vs = vs_ref[0, 0].astype(jnp.float32)  # [H, ts]
         pv = jnp.sum((p * vs)[:, :, None] * vq, axis=1)  # [H, D]
         acc_ref[:] = acc_ref[:] * alpha + pv
@@ -125,7 +136,7 @@ def _decode_attn_call(
     n_past: jnp.ndarray,  # int32 [B]
     slopes: jnp.ndarray,  # f32 [H, 1] (zeros when not alibi)
     q: jnp.ndarray,  # [B, H, D] bf16
-    k_q: jnp.ndarray,  # [L, B, H, S, D] int8
+    k_q: jnp.ndarray,  # [L, B, H, S, Dp] int8 (Dp=D) or plane-packed uint8 (Dp=D/2)
     k_s: jnp.ndarray,  # [L, B, H, S]
     v_q: jnp.ndarray,
     v_s: jnp.ndarray,
@@ -138,6 +149,8 @@ def _decode_attn_call(
 ):
     B, H, D = q.shape
     S = k_q.shape[3]
+    Dp = k_q.shape[4]  # noqa: N806 — packed minor dim (D/2 for int4)
+    packed4 = k_q.dtype == jnp.uint8
     # bound the S-walk by the static kv_len bucket via the GRID, not by
     # slicing the operands: pallas_call operands are materialized buffers,
     # so a lax.slice of the stacked [L,B,H,S,D] cache would copy the whole
@@ -149,18 +162,19 @@ def _decode_attn_call(
     grid = (B, pl.cdiv(S_eff, ts))
 
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, ts=ts, alibi=alibi),
+        functools.partial(_kernel, scale=scale, ts=ts, alibi=alibi,
+                          packed4=packed4),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # il, n_past
             grid=grid,
             in_specs=[
                 pl.BlockSpec((H, 1), lambda b, j, il, np_: (0, 0)),
                 pl.BlockSpec((1, H, D), lambda b, j, il, np_: (b, 0, 0)),
-                pl.BlockSpec((1, 1, H, ts, D),
+                pl.BlockSpec((1, 1, H, ts, Dp),
                              lambda b, j, il, np_: (il[0], b, 0, j, 0)),
                 pl.BlockSpec((1, 1, H, ts),
                              lambda b, j, il, np_: (il[0], b, 0, j)),
-                pl.BlockSpec((1, 1, H, ts, D),
+                pl.BlockSpec((1, 1, H, ts, Dp),
                              lambda b, j, il, np_: (il[0], b, 0, j, 0)),
                 pl.BlockSpec((1, 1, H, ts),
                              lambda b, j, il, np_: (il[0], b, 0, j)),
@@ -193,7 +207,9 @@ def decode_attention_int8(
     block_s: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Single-token fused attention over the stacked int8 KV cache.
+    """Single-token fused attention over the stacked quantized KV cache
+    (int8, or plane-packed int4 when the values side is uint8 — see
+    transformer._kv_quantize4).
 
     Returns ctx [B, 1, H, D] f32.  Numerics match the einsum path of
     models/transformer.py:attention (same dequant, mask, softmax) —

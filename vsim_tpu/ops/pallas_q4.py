@@ -133,15 +133,18 @@ def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
     x stays resident only while N·half_k is small (decode), else cap the
     k tile.
 
-    Tile AREA stays at 1M elements: the kernel's dequant temporaries (i32
-    widened bytes + f32/bf16 planes) cost ~10x the packed tile bytes of
-    scoped VMEM, so 2M-element tiles blow the 16 MB limit.  Tall tiles
+    Tile AREA stays at 1M elements (half that for n > 64): the kernel's
+    dequant temporaries (i32 widened bytes + f32/bf16 planes) cost ~10x the
+    packed tile bytes of scoped VMEM, so 2M-element tiles blow the 16 MB
+    limit — and at n=128 the resident x/out blocks leave even less, which
+    made 1M-element tiles fail Mosaic allocation (B=128 decode).  Tall tiles
     (block_kh up) shrink the k-grid without growing the area."""
     kh_cap = 8192 if n <= 32 else 2048  # x VMEM bytes = 4·n·block_kh
     block_kh = min(half_k, kh_cap)
     while half_k % block_kh:
         block_kh //= 2
-    block_o = min(O, max(128, (1 << 20) // block_kh))
+    area = (1 << 20) if n <= 64 else (1 << 19)
+    block_o = min(O, max(128, area // block_kh))
     while O % block_o:
         block_o //= 2
     return block_o, block_kh
