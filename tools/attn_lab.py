@@ -230,11 +230,11 @@ def main():
     vqS = slice_len(v_store[0], 3)
     vsS = slice_len(v_store[1], 3)
 
-    def xla_step(q):
+    def xla_step(q, kq_, ks_, vq_, vs_):
         def body(c, _):
             q, il = c
-            keys = _kv_read((kqS, ksS), il, None, jnp.bfloat16)
-            values = _kv_read((vqS, vsS), il, None, jnp.bfloat16)
+            keys = _kv_read((kq_, ks_), il, None, jnp.bfloat16)
+            values = _kv_read((vq_, vs_), il, None, jnp.bfloat16)
             s = jnp.einsum("bhd,bhsd->bhs", q, keys,
                            preferred_element_type=jnp.float32) * scale
             s_idx = jnp.arange(S, dtype=jnp.int32)
@@ -248,13 +248,13 @@ def main():
         (q, _), _ = jax.lax.scan(body, (q, jnp.int32(0)), None, length=L)
         return q
 
-    def pallas_step(q):
+    def pallas_step(q, kq_, ks_, vq_, vs_):
         from vsim_tpu.ops.decode_attention import decode_attention_int8
 
         def body(c, _):
             q, il = c
             ctx = decode_attention_int8(
-                q[:, None], (kqS, ksS), (vqS, vsS), il, n_past,
+                q[:, None], (kq_, ks_), (vq_, vs_), il, n_past,
                 kv_len=S, scale=scale)
             return (ctx[:, 0].astype(jnp.bfloat16), il + 1), None
 
@@ -262,11 +262,11 @@ def main():
         return q
 
     def make_variant_step(v):
-        def step(q):
+        def step(q, kq_, ks_, vq_, vs_):
             def body(c, _):
                 q, il = c
                 ctx = variant_call(
-                    il.reshape(1), n_past, q, kqS, ksS, vqS, vsS,
+                    il.reshape(1), n_past, q, kq_, ks_, vq_, vs_,
                     variant=v, scale=scale, block_s=min(128, S))
                 return (ctx.astype(jnp.bfloat16), il + 1), None
 
@@ -280,17 +280,21 @@ def main():
         steps[v] = make_variant_step(v)
 
     def chain_time(step, reps=6, n_short=2, n_long=8):
+        # the KV stores ride as explicit jit arguments — a closure would
+        # bake gigabytes of cache into the executable as constants and ship
+        # them through the remote-compile path (observed: multi-minute hangs)
         @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(q, n):
+        def loop(q, kq_, ks_, vq_, vs_, n):
             def body(c, _):
-                out = step(c)
+                out = step(c, kq_, ks_, vq_, vs_)
                 return out * 1e-3 + q * 0.0, None
 
             c, _ = jax.lax.scan(body, q, None, length=n)
             return c
 
         def run(n):
-            float(jnp.sum(loop(q0, n=n).astype(jnp.float32)))
+            float(jnp.sum(loop(q0, kqS, ksS, vqS, vsS,
+                               n=n).astype(jnp.float32)))
 
         run(n_short)
         run(n_long)
