@@ -139,6 +139,62 @@ def _k_f32x(xe_ref, xo_ref, p_ref, s_ref, o_ref):
     o_ref[:] += acc
 
 
+def _k_res(xe_ref, xo_ref, p_ref, s_ref, o_ref, *, chunk):
+    """x-RESIDENT variant: k-grid of ONE (the whole half-K is one block, so
+    the activations are DMA'd once, not once per o tile) with the dequant
+    chunked inside the kernel so temporaries stay small while the packed
+    tile is tall.  f32x math (mantissa-OR, no int→float converts)."""
+    tkh, to = p_ref.shape
+    magic = jnp.int32(0x4B000000)
+    off = jnp.float32(8388608.0 + 8.0)
+    nch = tkh // chunk
+    nbc = chunk // 16
+
+    def body(c, acc):
+        p = p_ref[pl.ds(c * chunk, chunk), :].astype(jnp.int32)
+        lo = jax.lax.bitcast_convert_type((p & 0x0F) | magic, jnp.float32)
+        hi = jax.lax.bitcast_convert_type((p >> 4) | magic, jnp.float32)
+        s = s_ref[pl.ds(c * nbc, nbc), :].astype(jnp.float32)
+        sexp = _expand_scales(s, chunk, to)
+        wlo = ((lo - off) * sexp).astype(jnp.bfloat16)
+        whi = ((hi - off) * sexp).astype(jnp.bfloat16)
+        acc += jnp.dot(xe_ref[:, pl.ds(c * chunk, chunk)], wlo,
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(xo_ref[:, pl.ds(c * chunk, chunk)], whi,
+                       preferred_element_type=jnp.float32)
+        return acc
+
+    o_ref[:] = jax.lax.fori_loop(
+        0, nch, body, jnp.zeros(o_ref.shape, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "chunk"))
+def res_matmul(xe, xo, packed, scales, *, block_o, chunk=512):
+    N, half_k = xe.shape
+    O = packed.shape[1]
+    grid = (pl.cdiv(O, block_o),)
+    return pl.pallas_call(
+        functools.partial(_k_res, chunk=min(chunk, half_k)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, half_k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, half_k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((half_k, block_o), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((half_k // 16, block_o), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, block_o), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(xe, xo, packed, scales)
+
+
 KERNELS = {"dma": _k_dma, "i32": _k_i32, "u16": _k_u16, "f32x": _k_f32x}
 
 
@@ -223,10 +279,28 @@ def check_numerics(variant, block_o=512, block_kh=2048):
     return float(jnp.max(jnp.abs(got - ref))) / scale
 
 
+def check_numerics_res(block_o=512, chunk=512):
+    from vsim_tpu.quant.q4 import dequantize_km
+
+    rng = np.random.default_rng(1)
+    O = K = 1024
+    w = jax.device_put(Q4Tensor.from_dense_np(
+        rng.standard_normal((O, K)).astype(np.float32)))
+    x = jnp.asarray(rng.standard_normal((8, K)), jnp.bfloat16)
+    ref = (x.astype(jnp.float32) @ dequantize_km(w, jnp.float32))
+    got = res_matmul(x[:, 0::2], x[:, 1::2], w.packed, w.scales,
+                     block_o=min(block_o, O), chunk=chunk)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    return float(jnp.max(jnp.abs(got - ref))) / scale
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--sweep-blocks", action="store_true")
+    ap.add_argument("--shape", default="4096,4096",
+                    help="O,K of the weight (e.g. 4096,16384 = GPT-J proj)")
+    ap.add_argument("--variants", default="dma,i32,f32x,res")
     args = ap.parse_args()
     print(f"device={jax.devices()[0].device_kind} batch={args.batch}",
           flush=True)
@@ -234,12 +308,29 @@ def main():
     # omitted variants (Mosaic legalization failures, measured 2026-08-18):
     # i8f — no vector<i8> subtract; 16-bit-native unpack — no vector<i16>
     # shift/and.  u16 therefore unpacks in i32 and narrows.
-    O, K = 4096, 4096
-    for v in ("dma", "i32", "u16", "f32x"):
+    O, K = (int(t) for t in args.shape.split(","))
+    for v in args.variants.split(","):
+        if v == "res":
+            for (bo, chunk) in ([(256, 512), (512, 512), (256, 1024),
+                                 (1024, 512), (512, 256)]
+                                if args.sweep_blocks else [(256, 512)]):
+                try:
+                    fn = functools.partial(res_matmul, block_o=bo,
+                                           chunk=chunk)
+                    ms, gbs = bench(O, K, args.batch, fn)
+                    err = f"{check_numerics_res(bo, chunk):.2e}"
+                    print(f"res  bo={bo:5d} chk={chunk:5d}  {ms:7.3f} ms "
+                          f"{gbs:7.1f} GB/s  relerr={err}", flush=True)
+                except Exception as e:
+                    print(f"res  bo={bo:5d} chk={chunk:5d}  FAILED "
+                          f"{type(e).__name__}: {e}", flush=True)
+            continue
         for (bo, bkh) in ([(2048, 512), (2048, 256), (1024, 512),
                            (4096, 512), (2048, 1024)]
                           if args.sweep_blocks and v in ("u16", "f32x", "dma")
                           else [(2048, 512)]):
+            bkh = min(bkh, K // 2)
+            bo = min(bo, O)
             try:
                 fn = functools.partial(variant_matmul, variant=v,
                                        block_o=bo, block_kh=bkh)
