@@ -206,10 +206,142 @@ def main() -> int:
         },
     }
     if args.verbose:
+        try:
+            _phase_attribution(cfg, engine.params, batch,
+                               engine.kv_bucket(len(prompt) + n_long + 1),
+                               step_bn_s, monitor)
+        except Exception as e:  # attribution is diagnostics, never fatal
+            print(f"[bench] phase attribution failed: {e}", file=sys.stderr)
         monitor.show()
         print(json.dumps(result, indent=2), file=sys.stderr)
     print(json.dumps(result))
     return 0
+
+
+def _phase_attribution(cfg, params, B, kv_len, t_full_s, monitor):
+    """Device-time breakdown of the decode step, show_time_sep-style
+    (reference monitor.c:196-262): each phase measured as a chained
+    on-device loop via monitor.chain_time, injected into the monitor table.
+    Rows: full step, each Q4 matmul group's weight stream, the attention/KV
+    path, sampling, and the unattributed rest."""
+    import jax
+    import jax.numpy as jnp
+
+    from vsim_tpu.engine.sampling import sample_jax
+    from vsim_tpu.models.transformer import _kv_read, _kv_write, init_cache
+    from vsim_tpu.ops.matmul import Q4Layer, q4_matmul
+    from vsim_tpu.quant.q4 import Q4Tensor
+
+    L, E, F = cfg.n_layer, cfg.n_embd, cfg.n_ff
+    H, D = cfg.n_head, cfg.head_dim
+    S = kv_len
+    monitor.record("phase/full_step", t_full_s)
+
+    lw = params["layers"]
+    groups = [k for k in ("w_qkv", "wq", "wk", "wv", "wo", "w_fc", "w_proj")
+              if k in lw and isinstance(lw[k], Q4Tensor)]
+
+    t_sum = 0.0
+    for g in groups:
+        K = lw[g].in_features
+
+        def mm_step(p, carry, g=g, K=K):
+            (x,) = carry
+
+            def body(c, _):
+                h, il = c
+                y = q4_matmul(h, Q4Layer(p["layers"][g], il),
+                              compute_dtype=jnp.bfloat16)
+                h = h + (y[..., :1] * 1e-9).astype(jnp.bfloat16)  # dep chain
+                return (h, il + 1), None
+
+            (x, _), _ = jax.lax.scan(body, (x, jnp.int32(0)), None, length=L)
+            return (x,)
+
+        x0 = jnp.ones((B, 1, K), jnp.bfloat16)
+        t = monitor.chain_time(mm_step, params, (x0,), reps=4)
+        monitor.record(f"phase/q4[{g}]", t, depth=1)
+        t_sum += t
+
+    if isinstance(params.get("lm_head"), Q4Tensor):
+        def lm_step(p, carry):
+            (x,) = carry
+            y = q4_matmul(x, p["lm_head"], compute_dtype=jnp.bfloat16)
+            return (x + (y[..., :1] * 1e-9).astype(jnp.bfloat16),)
+
+        t = monitor.chain_time(
+            lm_step, params, (jnp.ones((B, 1, E), jnp.bfloat16),), reps=4)
+        monitor.record("phase/q4[lm_head]", t, depth=1)
+        t_sum += t
+
+    # attention/KV path (quantized-cache write + fused read/attend)
+    cache = init_cache(cfg, B, n_ctx=max(2 * S, 256))
+    q0 = jnp.ones((B, 1, H, D), jnp.bfloat16)
+
+    def attn_step(p, carry):
+        del p
+        from vsim_tpu.models.transformer import attention
+        from vsim_tpu.models.config import ModelConfig  # noqa: F401
+
+        q, k_all, v_all, n_past = carry
+
+        def body(c, _):
+            q, k_all, v_all, il = c
+            import math
+
+            from vsim_tpu.ops.decode_attention import (
+                decode_attention_int8, decode_kernel_enabled)
+
+            k_all = _kv_write(k_all, q, il, n_past, False, B, 1)
+            v_all = _kv_write(v_all, q, il, n_past, False, B, 1)
+            if isinstance(k_all, tuple) and decode_kernel_enabled():
+                ctx = decode_attention_int8(
+                    q, k_all, v_all, il, n_past, kv_len=S,
+                    scale=1.0 / math.sqrt(D))
+            else:
+                keys = _kv_read(k_all, il, S, jnp.bfloat16)
+                values = _kv_read(v_all, il, S, jnp.bfloat16)
+                s = jnp.einsum("bthd,bhsd->bhts", q, keys,
+                               preferred_element_type=jnp.float32)
+                pr = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+                ctx = jnp.einsum("bhts,bhsd->bthd", pr, values,
+                                 preferred_element_type=jnp.float32)
+            return (ctx.astype(jnp.bfloat16), k_all, v_all, il + 1), None
+
+        (q, k_all, v_all, _), _ = jax.lax.scan(
+            body, (q, k_all, v_all, jnp.int32(0)), None, length=L)
+        return q, k_all, v_all, n_past
+
+    t_attn = monitor.chain_time(
+        attn_step, jnp.zeros(()), (q0, cache["k"], cache["v"], jnp.int32(8)),
+        reps=4)
+    monitor.record("phase/attention_kv", t_attn, depth=1)
+    t_sum += t_attn
+
+    # sampling (greedy argmax over the padded vocab)
+    V = (params["lm_head"].out_features
+         if isinstance(params.get("lm_head"), Q4Tensor)
+         else cfg.n_vocab)
+
+    def sample_step(p, carry):
+        del p
+        logits, lt, key = carry
+        key, sub = jax.random.split(key)
+        nxt = sample_jax(logits, lt, sub, top_k=1, top_p=1.0, temperature=1.0,
+                         repeat_penalty=1.0, greedy=True)
+        lt = jnp.concatenate([lt[:, 1:], nxt[:, None]], axis=1)
+        logits = logits + nxt[:, None].astype(jnp.float32) * 1e-9
+        return logits, lt, key
+
+    t_sample = monitor.chain_time(
+        sample_step, jnp.zeros(()),
+        (jnp.ones((B, V), jnp.float32), jnp.full((B, 64), -1, jnp.int32),
+         jax.random.PRNGKey(0)), reps=4)
+    monitor.record("phase/sampling", t_sample, depth=1)
+    t_sum += t_sample
+
+    monitor.record("phase/other(ln,rope,glue)", max(t_full_s - t_sum, 0.0),
+                   depth=1)
 
 
 if __name__ == "__main__":

@@ -81,3 +81,84 @@ def test_eos_stops_generation(ai):
 def test_unknown_model_rejected():
     with pytest.raises(ValueError, match="unknown model"):
         AutoInference("not/a-model")
+
+
+# -- download integrity (atomic temp-path download + resume + sha256 pin) ----
+
+
+def _serve_once(payload: bytes, fail_after=None):
+    """Tiny HTTP server supporting Range; returns (url, shutdown)."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            start = 0
+            rng = self.headers.get("Range")
+            if rng:
+                start = int(rng.split("=")[1].rstrip("-"))
+                if start >= len(payload):
+                    self.send_response(416)
+                    self.end_headers()
+                    return
+                self.send_response(206)
+            else:
+                self.send_response(200)
+            body = payload[start:]
+            if fail_after is not None and start == 0:
+                body = body[:fail_after]  # truncated first response
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return f"http://127.0.0.1:{srv.server_address[1]}/f.bin", srv.shutdown
+
+
+def test_download_atomic_and_resumable(tmp_path):
+    from vsim_tpu.api.interface import _download
+
+    payload = bytes(range(256)) * 1000
+    url, shutdown = _serve_once(payload)
+    try:
+        dest = str(tmp_path / "model.bin")
+        # simulate an interrupted previous download: stale .part prefix
+        with open(dest + ".part", "wb") as f:
+            f.write(payload[:10_000])
+        _download(url, dest)
+        assert open(dest, "rb").read() == payload
+        assert not (tmp_path / "model.bin.part").exists()
+    finally:
+        shutdown()
+
+
+def test_sha256_pin_detects_corruption(tmp_path, monkeypatch, capsys):
+    import vsim_tpu.api.interface as iface
+
+    monkeypatch.setattr(iface, "CACHE_PATH", str(tmp_path))
+    payload = b"model-bytes" * 100
+    url, shutdown = _serve_once(payload)
+    try:
+        monkeypatch.setitem(
+            iface.MAP_MODEL_TO_URL, "test/tiny",
+            iface.ModelUrlMap("gptneox", url))
+        ai = object.__new__(iface.AutoInference)
+        ai.model_name, ai.mode = "test/tiny", "int4_fixed_zero"
+        path = ai._resolve_model_path()
+        assert open(path, "rb").read() == payload
+        pin = open(path + ".sha256").read().strip()
+        assert pin == iface._sha256(path)
+        # pristine re-resolve: no warning
+        ai._resolve_model_path()
+        assert "WARNING" not in capsys.readouterr().out
+        # corrupt the cached file: pin check must fire
+        with open(path, "ab") as f:
+            f.write(b"junk")
+        ai._resolve_model_path()
+        assert "sha256" in capsys.readouterr().out
+    finally:
+        shutdown()

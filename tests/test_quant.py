@@ -143,3 +143,89 @@ def test_histogram():
     _, _, hist = quantize_q4_0_with_hist_np(w)
     assert hist.sum() == w.size
     assert hist.shape == (16,)
+
+
+# ---------------------------------------------------------------------------
+# Q4_1 (min + delta): reference ggml.c:252-299, 336-367; per-row planar
+# serialization per ggml_quantize_q4_1 (utils.cpp:484-536)
+# ---------------------------------------------------------------------------
+
+from vsim_tpu.quant import (  # noqa: E402
+    dequantize_q4_1_np,
+    from_ggml_q4_1_bytes,
+    quantize_q4_1_np,
+    to_ggml_q4_1_bytes,
+)
+
+
+def ggml_oracle_quantize_row_q4_1(x: np.ndarray) -> bytes:
+    """Scalar transliteration of ggml_quantize_q4_1 (utils.cpp:484-536):
+    row = [nb f32 mins][nb f32 deltas][nb*16 nibble bytes]."""
+    import math
+    import struct
+
+    k = x.shape[0]
+    nb = k // QK
+    mins, deltas, nibbles = [], [], bytearray()
+    for i in range(nb):
+        block = x[i * QK:(i + 1) * QK].astype(np.float32)
+        mn, mx = block.min(), block.max()  # float32, like the C floats
+        d = (mx - mn) / np.float32(15.0)
+        idv = np.float32(1.0) / d if d else np.float32(0.0)
+        mins.append(float(mn))
+        deltas.append(float(d))
+        for l in range(0, QK, 2):
+            v0 = float((np.float32(block[l]) - np.float32(mn)) * idv)
+            v1 = float((np.float32(block[l + 1]) - np.float32(mn)) * idv)
+            # C round() = half away from zero (v0/v1 are >= 0 here)
+            vi0, vi1 = int(math.floor(v0 + 0.5)), int(math.floor(v1 + 0.5))
+            assert 0 <= vi0 < 16 and 0 <= vi1 < 16
+            nibbles.append(vi0 | (vi1 << 4))
+    return (struct.pack(f"<{nb}f", *mins) + struct.pack(f"<{nb}f", *deltas)
+            + bytes(nibbles))
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_q4_1_bit_exact_vs_ggml_oracle(seed):
+    rng = np.random.default_rng(seed)
+    O, K = 3, 96
+    w = rng.standard_normal((O, K)).astype(np.float32) + 0.5
+    w[0, :QK] = 2.0  # constant block: d == 0 path
+    packed, deltas, mins = quantize_q4_1_np(w)
+    stream = to_ggml_q4_1_bytes(packed, deltas, mins)
+    oracle = b"".join(ggml_oracle_quantize_row_q4_1(w[i]) for i in range(O))
+    assert bytes(stream.tobytes()) == oracle
+
+
+def test_q4_1_wire_roundtrip_and_error_bound():
+    rng = np.random.default_rng(7)
+    O, K = 8, 256
+    w = rng.standard_normal((O, K)).astype(np.float32)
+    packed, deltas, mins = quantize_q4_1_np(w)
+    stream = to_ggml_q4_1_bytes(packed, deltas, mins)
+    p2, d2, m2 = from_ggml_q4_1_bytes(stream, O, K)
+    np.testing.assert_array_equal(p2, packed)
+    np.testing.assert_array_equal(d2, deltas)
+    np.testing.assert_array_equal(m2, mins)
+    deq = dequantize_q4_1_np(p2, d2, m2)
+    # max error <= delta/2 per element
+    dmax = np.repeat(deltas, QK, axis=-1)
+    assert np.all(np.abs(deq - w) <= dmax / 2 + 1e-6)
+
+
+def test_q4_1_ggml_tensor_load(tmp_path):
+    """A Q4_1 tensor in a ggml file loads (dense) instead of raising —
+    reference quantizer CLIs accept ftype 3 (quantize_gptneox.cpp:34-38)."""
+    from vsim_tpu.convert.ggml_file import FTYPE_Q4_1, GGMLTensor
+
+    rng = np.random.default_rng(1)
+    O, K = 4, 64
+    w = rng.standard_normal((O, K)).astype(np.float32)
+    packed, deltas, mins = quantize_q4_1_np(w)
+    raw = to_ggml_q4_1_bytes(packed, deltas, mins)
+    t = GGMLTensor("test.weight", (O, K), FTYPE_Q4_1, raw)
+    deq = t.to_numpy()
+    assert deq.shape == (O, K)
+    np.testing.assert_allclose(deq, dequantize_q4_1_np(packed, deltas, mins))
+    wgt = t.to_weight()
+    assert wgt.shape == (O, K)

@@ -29,40 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_time(step_fn, params, init, reps=8, n_short=2, n_long=10):
-    """Median per-step seconds of jitted ``step_fn(params, carry) -> carry``,
-    differencing chained lax.scan loops of two lengths to cancel the tunnel
-    RTT.  ``params`` rides as an explicit argument (a closure would bake
-    3.4 GB of weights into the executable as constants)."""
-
-    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
-    def loop(params, carry, n):
-        def body(c, _):
-            return step_fn(params, c), None
-
-        carry, _ = jax.lax.scan(body, carry, None, length=n)
-        return carry
-
-    def run(n):
-        # the loop donates its carry (two live GPT-J KV caches OOM a 16 GB
-        # chip), so hand it a fresh copy of init each run; the copy cost is
-        # constant and cancels in the two-length differencing
-        c = loop(params, jax.tree.map(jnp.copy, init), n=n)
-        leaf = jax.tree.leaves(c)[0]
-        float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
-
-    run(n_short)  # compile
-    run(n_long)  # compile
-
-    def t(n):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run(n)
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    return max((t(n_long) - t(n_short)) / (n_long - n_short), 1e-9)
+from vsim_tpu.monitor import chain_time  # per-phase device-time attribution
 
 
 def main():
@@ -70,7 +37,7 @@ def main():
     ap.add_argument("--model", default="gpt-j-6b")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--kv-len", type=int, default=128)
-    ap.add_argument("--kv", default="int8", choices=["int8", "bfloat16"])
+    ap.add_argument("--kv", default="int8", choices=["int8", "bfloat16", "int4"])
     ap.add_argument("--n-ctx", type=int, default=0,
                     help="cache allocation length (0 = 2*kv_len; the chain "
                     "loop donates its carry but each run still holds init + "

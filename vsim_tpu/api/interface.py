@@ -108,11 +108,44 @@ def _sha256(path: str) -> str:
 
 
 def _download(url: str, dest: str) -> None:
+    """Resumable, atomic download: bytes stream to ``dest + '.part'`` (with a
+    Range request picking up where an interrupted run stopped) and only an
+    os.replace of the completed file creates ``dest`` — an interrupted download
+    can never leave a truncated file at the final path (the reference
+    urlretrieves straight to it, interface.py:156-170)."""
+    import urllib.error
     import urllib.request
 
     os.makedirs(os.path.dirname(dest), exist_ok=True)
-    print(f"downloading {url} → {dest}")
-    urllib.request.urlretrieve(url, dest)  # nosec: user-requested artifact
+    part = dest + ".part"
+    offset = os.path.getsize(part) if os.path.exists(part) else 0
+    req = urllib.request.Request(url)  # nosec: user-requested artifact
+    if offset:
+        req.add_header("Range", f"bytes={offset}-")
+        print(f"resuming {url} at {offset / 1e6:.1f} MB")
+    else:
+        print(f"downloading {url} → {dest}")
+    try:
+        resp = urllib.request.urlopen(req)  # nosec
+    except urllib.error.HTTPError as e:
+        if offset and e.code == 416:  # range not satisfiable: already complete
+            os.replace(part, dest)
+            return
+        raise
+    mode = "ab" if offset and resp.status == 206 else "wb"
+    done = offset if mode == "ab" else 0
+    next_report = done + (64 << 20)
+    with open(part, mode) as f:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            f.write(chunk)
+            done += len(chunk)
+            if done >= next_report:
+                print(f"  ... {done / 1e9:.2f} GB", flush=True)
+                next_report = done + (64 << 20)
+    os.replace(part, dest)
 
 
 class AutoInference:
@@ -172,11 +205,28 @@ class AutoInference:
         local = os.path.join(
             CACHE_PATH, "models", self.model_name.replace("/", "-.-"),
             self.mode)
-        if not os.path.exists(local):
+        pin = local + ".sha256"
+        fresh = not os.path.exists(local)
+        if fresh:
             _download(entry.get_url(self.mode), local)
-        if entry.sha256 and _sha256(local) != entry.sha256:
-            print(f"WARNING: sha256 mismatch for {local} — file may be "
-                  f"corrupt or outdated")  # warn-only, like interface.py:45
+        digest = _sha256(local)
+        if entry.sha256:  # registry-published hash, reference interface.py:21-47
+            if digest != entry.sha256:
+                print(f"WARNING: sha256 mismatch for {local} — file may be "
+                      f"corrupt or outdated")  # warn-only, like interface.py:45
+        elif fresh or not os.path.exists(pin):
+            # no published hash: pin the first-seen digest so later loads can
+            # detect cache corruption (VERDICT r1 #3)
+            with open(pin, "w") as f:
+                f.write(digest + "\n")
+        else:
+            with open(pin) as f:
+                pinned = f.read().strip()
+            if digest != pinned:
+                print(f"WARNING: sha256 of {local} changed since first "
+                      f"download ({digest[:12]}… vs pinned {pinned[:12]}…) — "
+                      f"cached file may be corrupt; delete it (and the "
+                      f".sha256 pin) to re-download")
         return local
 
     def _load(self, path: str, n_ctx: int):

@@ -72,6 +72,15 @@ class GGMLTensor:
             O, K = self.shape
             packed, scales = from_ggml_q4_0_bytes(self.raw, O, K, np.float32)
             return dequantize_q4_0_np(packed, scales)
+        if self.ftype == FTYPE_Q4_1:
+            from vsim_tpu.quant.q4 import (
+                dequantize_q4_1_np,
+                from_ggml_q4_1_bytes,
+            )
+
+            O, K = self.shape
+            packed, deltas, mins = from_ggml_q4_1_bytes(self.raw, O, K)
+            return dequantize_q4_1_np(packed, deltas, mins)
         raise NotImplementedError(f"ftype {self.ftype} ({self.name})")
 
     def to_weight(self, scale_dtype=DEFAULT_SCALE_DTYPE):

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vsim_tpu import monitor
 from vsim_tpu.models.config import ModelConfig
 from vsim_tpu.models.transformer import forward, init_cache
 
@@ -314,12 +315,13 @@ class SpeculativeEngine:
         padded = prompt_ids + [0] * (T - n_prompt)
         ids = jnp.asarray([padded], jnp.int32)
         tcache = init_cache(self.cfg, B, n_ctx=self.n_ctx)
-        logits, tcache = self._prefill_target(self.params, ids, tcache,
-                                              kv_len=T)
-        dstate = self.drafter.init_state(B, self.n_ctx)
-        if self._prefill_draft is not None:
-            dstate = self._prefill_draft(self.drafter.params, ids, dstate,
-                                         kv_len=T)
+        with monitor.span("spec/prefill"):
+            logits, tcache = self._prefill_target(self.params, ids, tcache,
+                                                  kv_len=T)
+            dstate = self.drafter.init_state(B, self.n_ctx)
+            if self._prefill_draft is not None:
+                dstate = self._prefill_draft(self.drafter.params, ids, dstate,
+                                             kv_len=T)
         cur = jnp.argmax(logits[:, n_prompt - 1, :], axis=-1).astype(jnp.int32)
         t_prefill = time.perf_counter()
 
@@ -350,10 +352,12 @@ class SpeculativeEngine:
             dparams = getattr(self.drafter, "params", None)
             if dparams is None:
                 dparams = jnp.zeros((), jnp.int32)
-            tcache, dstate, cur, n_past, history, buf, count, emits = (
-                self._spec_chunk(
-                    self.params, dparams, tcache, dstate, cur, n_past,
-                    history, buf, count, n_cycles=n_cycles, kv_len=kv_len))
+            with monitor.span("spec/draft+verify"):
+                tcache, dstate, cur, n_past, history, buf, count, emits = (
+                    self._spec_chunk(
+                        self.params, dparams, tcache, dstate, cur, n_past,
+                        history, buf, count, n_cycles=n_cycles,
+                        kv_len=kv_len))
             emit_log.extend(int(e) for e in np.asarray(emits[:, 0]))
             # early host stop check on EOS
             if stop:

@@ -119,7 +119,10 @@ def _kv_write(store, new, il, n_past, ragged, B, T):
         h_ix = jnp.arange(H, dtype=jnp.int32)[None, :, None]  # [1,H,1]
         s_dst = n_past[:, None, None] \
             + jnp.arange(T, dtype=jnp.int32)[None, None, :]  # [B,1,T]
-        s_dst = jnp.clip(s_dst, 0, S_tot - 1)
+        # NO clip: out-of-range rows are DROPPED (mode="drop"), which makes
+        # n_past == S a write-nothing sentinel — the batched admission
+        # prefill runs all max_batch rows in one dispatch and masks the
+        # non-admitted slots' writes this way (engine/serving.py:_admit)
         if int8_kv:
             return (vals.at[il, b_ix, h_ix, s_dst].set(new_q, mode="drop"),
                     scales.at[il, b_ix, h_ix, s_dst].set(new_s, mode="drop"))

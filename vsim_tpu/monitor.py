@@ -61,6 +61,15 @@ class Monitor:
                 st.cpu_s += c1 - c0
                 st.calls += 1
 
+    def record(self, name: str, wall_s: float, calls: int = 1,
+               depth: int = 0) -> None:
+        """Inject an externally measured duration (e.g. a device-time phase
+        from chain_time) into the report table."""
+        with self._lock:
+            st = self._stats.setdefault(name, SpanStat(name=name, depth=depth))
+            st.wall_s += wall_s
+            st.calls += calls
+
     def stats(self) -> Dict[str, SpanStat]:
         return dict(self._stats)
 
@@ -104,6 +113,51 @@ reset = _GLOBAL.reset
 report = _GLOBAL.report
 show = _GLOBAL.show
 stats = _GLOBAL.stats
+record = _GLOBAL.record
+
+
+def chain_time(step_fn, params, init, reps=8, n_short=2, n_long=10):
+    """Median per-step DEVICE seconds of jitted ``step_fn(params, carry) ->
+    carry`` — the per-phase attribution method of tools/decode_profile.py
+    promoted into the monitor (reference: the per-op timer slots of
+    monitor.c:37-67, which the TPU's async dispatch makes meaningless for
+    host-side spans).
+
+    Times a chained ``lax.scan`` (output feeds next input, defeating CSE and
+    keeping steps serialized on device) at two lengths and differences them,
+    cancelling dispatch/tunnel constants.  ``params`` rides as an explicit
+    argument so multi-GB weights don't bake into the executable."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @functools.partial(jax.jit, donate_argnums=(1,), static_argnames=("n",))
+    def loop(params, carry, n):
+        def body(c, _):
+            return step_fn(params, c), None
+
+        carry, _ = jax.lax.scan(body, carry, None, length=n)
+        return carry
+
+    def run(n):
+        c = loop(params, jax.tree.map(jnp.copy, init), n=n)
+        leaf = jax.tree.leaves(c)[0]
+        float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
+    run(n_short)  # compile
+    run(n_long)  # compile
+
+    def t(n):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(n)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max((t(n_long) - t(n_short)) / (n_long - n_short), 1e-9)
 
 
 @contextlib.contextmanager

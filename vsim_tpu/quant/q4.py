@@ -264,6 +264,79 @@ def fake_quantize(w: jnp.ndarray, scale_dtype=jnp.float32) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Q4_1 (min + delta) — reference ggml.c:252-299, 336-367; serialized per-row
+# planar by ggml_quantize_q4_1 (utils.cpp:484-536):
+#   row = [nb × f32 min][nb × f32 delta][nb × QK/2 nibble bytes]
+# value = nibble * delta + min, nibble unsigned 0..15 (no fixed zero offset).
+# The reference quantizer CLIs accept ftype 3 (quantize_gptneox.cpp:34-38), so
+# artifacts from the wild may carry it; we read (and write) the format but run
+# it dense — Q4_0 remains the runtime kernel format.
+# ---------------------------------------------------------------------------
+
+
+def quantize_q4_1_np(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantize fp weights [O, K] → (packed uint8 [O, K//2], deltas f32
+    [O, K//QK], mins f32 [O, K//QK]) with reference Q4_1 math."""
+    if w.ndim != 2:
+        raise ValueError(f"Q4_1 quantization needs a 2-D matrix, got {w.shape}")
+    O, K = w.shape
+    if K % QK != 0:
+        raise ValueError(f"K={K} not a multiple of QK={QK}")
+    nb = K // QK
+    blocks = np.ascontiguousarray(w, np.float32).reshape(O, nb, QK)
+    mn = blocks.min(axis=-1)
+    mx = blocks.max(axis=-1)
+    d = ((mx - mn) / 15.0).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d != 0.0, np.float32(1.0) / d, np.float32(0.0)).astype(
+            np.float32)
+    v = (blocks - mn[..., None]) * inv[..., None]
+    q = np.clip(_round_half_away_np(v), 0, 15).astype(np.uint8)
+    q = q.reshape(O, K // 2, 2)
+    packed = (q[..., 0] | (q[..., 1] << 4)).astype(np.uint8)
+    return packed, d, mn.astype(np.float32)
+
+
+def dequantize_q4_1_np(packed: np.ndarray, deltas: np.ndarray,
+                       mins: np.ndarray) -> np.ndarray:
+    """Inverse of quantize_q4_1_np → f32 [O, K] (ggml.c:336-367 semantics)."""
+    O, half_k = packed.shape
+    lo = (packed & 0x0F).astype(np.float32)
+    hi = (packed >> 4).astype(np.float32)
+    q = np.stack([lo, hi], axis=-1).reshape(O, half_k * 2)
+    d = np.repeat(deltas.astype(np.float32), QK, axis=-1)
+    m = np.repeat(mins.astype(np.float32), QK, axis=-1)
+    return q * d + m
+
+
+def from_ggml_q4_1_bytes(raw: np.ndarray, O: int, K: int):
+    """Reference per-row planar Q4_1 stream → (packed, deltas, mins)."""
+    nb = K // QK
+    row_bytes = nb * (8 + QK // 2)
+    rec = np.frombuffer(np.ascontiguousarray(raw), dtype=np.uint8)
+    rec = rec.reshape(O, row_bytes)
+    mins = rec[:, : 4 * nb].copy().view(np.float32).reshape(O, nb)
+    deltas = rec[:, 4 * nb: 8 * nb].copy().view(np.float32).reshape(O, nb)
+    packed = rec[:, 8 * nb:].reshape(O, K // 2).copy()
+    return packed, deltas, mins
+
+
+def to_ggml_q4_1_bytes(packed: np.ndarray, deltas: np.ndarray,
+                       mins: np.ndarray) -> np.ndarray:
+    """Inverse of from_ggml_q4_1_bytes → reference byte stream."""
+    O, half_k = packed.shape
+    nb = half_k // (QK // 2)
+    row_bytes = nb * (8 + QK // 2)
+    rec = np.empty((O, row_bytes), dtype=np.uint8)
+    rec[:, : 4 * nb] = (np.ascontiguousarray(mins.astype(np.float32))
+                        .view(np.uint8).reshape(O, 4 * nb))
+    rec[:, 4 * nb: 8 * nb] = (np.ascontiguousarray(deltas.astype(np.float32))
+                              .view(np.uint8).reshape(O, 4 * nb))
+    rec[:, 8 * nb:] = packed
+    return rec.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
 # Row gather (embedding lookup on a quantized table, ggml GET_ROWS analogue)
 # ---------------------------------------------------------------------------
 
