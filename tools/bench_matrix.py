@@ -56,8 +56,13 @@ def main() -> int:
         print(f"== {cfg['name']}: {' '.join(cmd[1:])}", flush=True)
         t0 = time.time()
         try:
+            env = dict(os.environ)
+            # reuse compiled executables across configs (the axon-tunnel
+            # remote compile costs minutes per program)
+            env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
             out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=900, cwd=ROOT
+                cmd, capture_output=True, text=True, timeout=1800, cwd=ROOT,
+                env=env,
             )
             line = [ln for ln in out.stdout.strip().splitlines()
                     if ln.startswith("{")][-1]
@@ -67,9 +72,12 @@ def main() -> int:
             results[cfg["name"]] = {"error": f"{type(e).__name__}: {e}"[:500]}
             print(f"   FAILED: {results[cfg['name']]['error']}", flush=True)
         results[cfg["name"]]["wall_s_total"] = round(time.time() - t0, 1)
+        # persist after EVERY config: compiles through the axon tunnel cost
+        # 10+ min per program, so a timeout mid-matrix must not lose the
+        # configs that already ran
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
     return 0
 

@@ -139,6 +139,57 @@ def _k_f32x(xe_ref, xo_ref, p_ref, s_ref, o_ref):
     o_ref[:] += acc
 
 
+def _k_f32f(xe_ref, xo_ref, p_ref, s_ref, o_ref):
+    """Magic-OR + prefolded bias FMA + **f32 MXU dot**: drops BOTH per-plane
+    bf16 converts of f32x.  At decode batch the MXU is idle enough that the
+    slower f32 matmul rate doesn't bind; the VPU op chain per byte becomes
+    widen, and/or, shr/or, 2xFMA."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    magic = jnp.int32(0x4B000000)
+    lo = jax.lax.bitcast_convert_type((p & 0x0F) | magic, jnp.float32)
+    hi = jax.lax.bitcast_convert_type((p >> 4) | magic, jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    tkh, to = p.shape
+    sexp = _expand_scales(s, tkh, to)
+    bexp = sexp * jnp.float32(-(8388608.0 + 8.0))
+    wlo = lo * sexp + bexp
+    whi = hi * sexp + bexp
+    xe = xe_ref[:].astype(jnp.float32)
+    xo = xo_ref[:].astype(jnp.float32)
+    acc = jnp.dot(xe, wlo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo, whi, preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def _k_i32f(xe_ref, xo_ref, p_ref, s_ref, o_ref):
+    """i32 unpack + f32 dot (no bf16 converts), scale via plain multiply."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    lo = (p & 0x0F) - 8
+    hi = (p >> 4) - 8
+    s = s_ref[:].astype(jnp.float32)
+    tkh, to = p.shape
+    sexp = _expand_scales(s, tkh, to)
+    wlo = lo.astype(jnp.float32) * sexp
+    whi = hi.astype(jnp.float32) * sexp
+    xe = xe_ref[:].astype(jnp.float32)
+    xo = xo_ref[:].astype(jnp.float32)
+    acc = jnp.dot(xe, wlo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo, whi, preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
 def _k_res(xe_ref, xo_ref, p_ref, s_ref, o_ref, *, chunk):
     """x-RESIDENT variant: k-grid of ONE (the whole half-K is one block, so
     the activations are DMA'd once, not once per o tile) with the dequant
@@ -195,7 +246,8 @@ def res_matmul(xe, xo, packed, scales, *, block_o, chunk=512):
     )(xe, xo, packed, scales)
 
 
-KERNELS = {"dma": _k_dma, "i32": _k_i32, "u16": _k_u16, "f32x": _k_f32x}
+KERNELS = {"dma": _k_dma, "i32": _k_i32, "u16": _k_u16, "f32x": _k_f32x,
+           "f32f": _k_f32f, "i32f": _k_i32f}
 
 
 @functools.partial(jax.jit, static_argnames=("variant", "block_o", "block_kh"))

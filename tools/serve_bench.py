@@ -33,12 +33,25 @@ def main() -> int:
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--tokens", type=int, default=48)
     ap.add_argument("--kv", default="int8",
-                    choices=["bfloat16", "float32", "int8"])
+                    choices=["bfloat16", "float32", "int8", "int4"])
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel degree: shard params/cache over a "
+                    "(1, tp) mesh (ServingEngine mesh=)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on the virtual CPU device mesh (scaling-shape "
+                    "check without claiming the TPU tunnel; set XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=N first)")
     args = ap.parse_args()
 
+    if args.cpu:  # must precede the jax import (tests/conftest.py dance)
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from vsim_tpu.engine.sampling import SamplingParams
     from vsim_tpu.engine.serving import ServingEngine
@@ -47,6 +60,12 @@ def main() -> int:
     cfg = PRESETS[args.model].replace(
         n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype=args.kv)
     params = jax.device_put(random_q4_params(cfg, seed=0))
+
+    mesh = None
+    if args.tp > 1:
+        from vsim_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((1, args.tp), devices=jax.devices()[: args.tp])
 
     rng = np.random.default_rng(args.seed)
     prompts = [
@@ -57,7 +76,8 @@ def main() -> int:
 
     eng = ServingEngine(cfg, params, max_batch=args.max_batch,
                         n_ctx=args.n_ctx,
-                        sampling=SamplingParams(greedy=True), seed=args.seed)
+                        sampling=SamplingParams(greedy=True), seed=args.seed,
+                        mesh=mesh)
 
     # warm the compile caches (prefill buckets + step) with two requests
     eng.run(prompts[:2], n_predict=4, stop_tokens=())
@@ -92,6 +112,7 @@ def main() -> int:
                                          int(len(ttft) * 0.99))], 4),
             "step_ms_p50": round(
                 1e3 * float(np.median(step_times)), 3),
+            "tp": args.tp or 1,
             "device": str(jax.devices()[0]),
         },
     }

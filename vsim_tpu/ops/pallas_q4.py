@@ -14,14 +14,24 @@ weight cpyin'd to device LMM and an LMM-capacity CPU fallback
 
 Layout contract (vsim_tpu/quant/q4.py): weights are K-major —
 ``packed [K/2, O]`` uint8 (byte c = elements 2c|2c+1), ``scales [K/32, O]``.
-The kernel never transposes: activations arrive pre-deinterleaved as
-``x_even = x[:, 0::2]`` and ``x_odd = x[:, 1::2]`` (a cheap XLA slice on the
-small operand), so
+The kernel never transposes: the byte's two nibble planes become two
+[TKh, TO] weight tiles dotted against the even/odd element planes of x, so
 
     y = x @ W^T = x_even @ deq(lo_plane) + x_odd @ deq(hi_plane)
 
 with both dots in natural [N, K/2] @ [K/2, O] MXU form, and the per-block
 scales expanding along sublanes with a broadcast-reshape (no lane shuffles).
+
+Decode geometry (2026-08-21): the bench phase table measured the stacked
+matmuls at 170-370 GB/s effective while this same dequant math reaches
+715 GB/s at the lm-head shape.  Root cause: for big-K weights at decode
+batch, the old _pick_blocks chose tall-narrow [8192, 128] tiles — the o
+axis is the DMA minor dim of the K-major layout, so those tiles issue
+128-byte strided HBM bursts (199 GB/s measured on the 16384→4096 proj).
+Decode geometry is now wide-o ([512, 2048] tiles → 2 KB contiguous
+bursts); the k-grid this creates only re-streams the tiny activation
+block.  (An in-kernel x deinterleave that would also remove the host-side
+slice ops was tried and rejected by Mosaic — see _kernel.)
 
 Weight bytes read per output tile ≈ 4.5 bits/element — the speed-of-light
 target for HBM-bound decode.
@@ -40,28 +50,36 @@ from jax.experimental.pallas import tpu as pltpu
 from vsim_tpu.quant.q4 import QK, Q4Tensor
 
 
+def _dequant_planes(p_ref, s_ref, acc_dtype, stacked: bool):
+    p = (p_ref[0] if stacked else p_ref[:]).astype(jnp.int32)
+    lo = (p & 0x0F) - 8  # elements k = 2c   (low nibble)
+    hi = (p >> 4) - 8  # elements k = 2c+1 (high nibble)
+    s = (s_ref[0] if stacked else s_ref[:]).astype(jnp.float32)
+    nb, to = s.shape
+    tkh = p.shape[0]
+    # each Q4 block covers 16 consecutive rows of each nibble plane
+    sexp = jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
+    wlo = (lo.astype(jnp.float32) * sexp).astype(acc_dtype)
+    whi = (hi.astype(jnp.float32) * sexp).astype(acc_dtype)
+    return wlo, whi
+
+
 def _kernel(xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype):
     """One (o_tile, k_tile) grid step: dequantize a [TKh, TO] packed tile and
-    accumulate two half-K dots into the output tile."""
+    accumulate two half-K dots into the output tile.
+
+    The even/odd activation planes arrive pre-sliced from the host graph
+    (``x[:, 0::2]``/``x[:, 1::2]`` — XLA fuses the strided slice into the
+    producing elementwise op); an in-kernel ``reshape(N, TKh, 2)``
+    deinterleave was tried and rejected by Mosaic ("infer-vector-layout:
+    unsupported shape cast", 2026-08-21)."""
     k_step = pl.program_id(1)
 
     @pl.when(k_step == 0)
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    p = p_ref[:].astype(jnp.int32)  # [TKh, TO] bytes
-    lo = (p & 0x0F) - 8  # elements k = 2c   (low nibble)
-    hi = (p >> 4) - 8  # elements k = 2c+1 (high nibble)
-
-    s = s_ref[:].astype(jnp.float32)  # [TKh//16, TO] per-block scales
-    nb, to = s.shape
-    tkh = p.shape[0]
-    # each Q4 block covers 16 consecutive rows of each nibble plane
-    sexp = jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
-
-    wlo = (lo.astype(jnp.float32) * sexp).astype(acc_dtype)
-    whi = (hi.astype(jnp.float32) * sexp).astype(acc_dtype)
-
+    wlo, whi = _dequant_planes(p_ref, s_ref, acc_dtype, stacked=False)
     acc = jnp.dot(xe_ref[:].astype(acc_dtype), wlo,
                   preferred_element_type=jnp.float32)
     acc += jnp.dot(xo_ref[:].astype(acc_dtype), whi,
@@ -112,7 +130,7 @@ def _pallas_q4_matmul_2d(
         cost_estimate=pl.CostEstimate(
             flops=2 * N * half_k * 2 * O,
             bytes_accessed=packed.size + scales.size * scales.dtype.itemsize
-            + xe.size * 4 * 2 * grid[0] + N * O * 4,
+            + xe.size * xe.dtype.itemsize * 2 * grid[0] + N * O * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -121,25 +139,34 @@ def _pallas_q4_matmul_2d(
 
 
 def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
-    """VMEM-budget tile sizes.  Packed tile = block_kh × block_o bytes;
-    keep ≲ 2 MB (double-buffered by the grid pipeline), lanes multiple of
-    128, sublanes multiple of 32 (uint8 tiling) and of 16 blocks (scale
-    alignment).
+    """VMEM-budget tile sizes.  Tile AREA stays at 1M elements (half that for
+    n > 64): the dequant temporaries (i32 widened bytes + f32/bf16 planes)
+    cost ~10x the packed tile bytes of scoped VMEM, so 2M-element tiles blow
+    the 16 MB limit — and at n=128 the resident x/out blocks leave even
+    less (1M-element tiles fail Mosaic allocation at B=128 decode).
 
-    Prefer a K-grid of ONE: the x blocks' index map depends on the k step,
-    so every extra k step re-DMAs the activations once per o step — for
-    GPT-J's 4096x16384 proj at batch 32 that re-streamed ~32 MB of x per
-    call, measured 319 GB/s vs 438 on the equal-byte k-grid-1 fc shape.
-    x stays resident only while N·half_k is small (decode), else cap the
-    k tile.
+    Decode (n ≤ 32): wide-o tiles.  The o axis is the DMA minor dim of the
+    K-major weight, so block_o = burst length: [512, 2048] tiles stream 2 KB
+    contiguous bursts (measured 715 GB/s on the 50432x4096 lm head) while
+    the old tall [8192, 128] choice issued 128-byte strided bursts
+    (measured 199 GB/s on the 16384→4096 proj).  The k-grid this creates
+    re-DMAs only the tiny activation block per o step.
 
-    Tile AREA stays at 1M elements (half that for n > 64): the kernel's
-    dequant temporaries (i32 widened bytes + f32/bf16 planes) cost ~10x the
-    packed tile bytes of scoped VMEM, so 2M-element tiles blow the 16 MB
-    limit — and at n=128 the resident x/out blocks leave even less, which
-    made 1M-element tiles fail Mosaic allocation (B=128 decode).  Tall tiles
-    (block_kh up) shrink the k-grid without growing the area."""
-    kh_cap = 8192 if n <= 32 else 2048  # x VMEM bytes = 4·n·block_kh
+    Prefill (n > 32): prefer a K-grid of ONE — the x block's index map
+    depends on the k step, so every extra k step re-DMAs the activations
+    once per o step; at batch 32+ that re-stream is real traffic (measured
+    319 GB/s vs 438 on equal-byte shapes).  Tall tiles shrink the k-grid
+    without growing the area."""
+    if n <= 32:
+        area = 1 << 20
+        block_o = min(O, 2048)
+        while O % block_o:
+            block_o //= 2
+        block_kh = min(half_k, max(128, area // block_o))
+        while half_k % block_kh:
+            block_kh //= 2
+        return block_o, block_kh
+    kh_cap = 2048
     block_kh = min(half_k, kh_cap)
     while half_k % block_kh:
         block_kh //= 2
@@ -150,7 +177,8 @@ def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
     return block_o, block_kh
 
 
-def _kernel_stacked(il_ref, xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype):
+def _kernel_stacked(il_ref, xe_ref, xo_ref, p_ref, s_ref, o_ref, *,
+                    acc_dtype):
     """Stacked-layer variant: weight blocks carry a leading layer dim of 1,
     selected by the scalar-prefetched layer index (see
     pallas_q4_matmul_stacked)."""
@@ -160,21 +188,11 @@ def _kernel_stacked(il_ref, xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    p = p_ref[0].astype(jnp.int32)
-    lo = (p & 0x0F) - 8
-    hi = (p >> 4) - 8
-
-    s = s_ref[0].astype(jnp.float32)
-    nb, to = s.shape
-    tkh = p.shape[0]
-    sexp = jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
-
-    wlo = (lo.astype(jnp.float32) * sexp).astype(acc_dtype)
-    whi = (hi.astype(jnp.float32) * sexp).astype(acc_dtype)
-
-    acc = jnp.dot(xe_ref[:].astype(acc_dtype), wlo,
+    xe, xo = xe_ref[:], xo_ref[:]
+    wlo, whi = _dequant_planes(p_ref, s_ref, acc_dtype, stacked=True)
+    acc = jnp.dot(xe.astype(acc_dtype), wlo,
                   preferred_element_type=jnp.float32)
-    acc += jnp.dot(xo_ref[:].astype(acc_dtype), whi,
+    acc += jnp.dot(xo.astype(acc_dtype), whi,
                    preferred_element_type=jnp.float32)
     o_ref[:] += acc.astype(o_ref.dtype)
 
@@ -223,6 +241,19 @@ def _pallas_q4_matmul_stacked_2d(
     )(il, xe, xo, packed, scales)
 
 
+def _planes_padded(x2: jnp.ndarray, n: int):
+    """Even/odd element planes of [n, K] x, rows padded to the f32 sublane
+    tile (8).  The strided slices fuse into x's producing op in XLA."""
+    xe = x2[:, 0::2]
+    xo = x2[:, 1::2]
+    n_pad = max(8, -(-n // 8) * 8)
+    if n_pad != n:
+        pad = jnp.zeros((n_pad - n, x2.shape[1] // 2), x2.dtype)
+        xe = jnp.concatenate([xe, pad], axis=0)
+        xo = jnp.concatenate([xo, pad], axis=0)
+    return xe, xo, n_pad
+
+
 def pallas_q4_matmul_stacked(
     x: jnp.ndarray,
     w: Q4Tensor,  # stacked: packed [L, K/2, O]
@@ -246,14 +277,7 @@ def pallas_q4_matmul_stacked(
     n = 1
     for d in lead:
         n *= d
-    x2 = x.reshape(n, K)
-    xe = x2[:, 0::2]
-    xo = x2[:, 1::2]
-    n_pad = max(8, -(-n // 8) * 8)
-    if n_pad != n:
-        pad = jnp.zeros((n_pad - n, K // 2), x2.dtype)
-        xe = jnp.concatenate([xe, pad], axis=0)
-        xo = jnp.concatenate([xo, pad], axis=0)
+    xe, xo, n_pad = _planes_padded(x.reshape(n, K), n)
     block_o, block_kh = _pick_blocks(K // 2, O, n_pad)
     y = _pallas_q4_matmul_stacked_2d(
         jnp.asarray(il, jnp.int32).reshape(1), xe, xo, w.packed, w.scales,
@@ -279,17 +303,7 @@ def pallas_q4_matmul(
     n = 1
     for d in lead:
         n *= d
-    x2 = x.reshape(n, K)
-    xe = x2[:, 0::2]
-    xo = x2[:, 1::2]
-
-    # pad row count to the f32 sublane tile
-    n_pad = max(8, -(-n // 8) * 8)
-    if n_pad != n:
-        pad = jnp.zeros((n_pad - n, K // 2), x2.dtype)
-        xe = jnp.concatenate([xe, pad], axis=0)
-        xo = jnp.concatenate([xo, pad], axis=0)
-
+    xe, xo, n_pad = _planes_padded(x.reshape(n, K), n)
     block_o, block_kh = _pick_blocks(K // 2, O, n_pad)
     y = _pallas_q4_matmul_2d(
         xe, xo, w.packed, w.scales,
