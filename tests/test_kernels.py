@@ -87,6 +87,42 @@ def test_pallas_stacked_scalar_prefetch():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_pick_blocks_invariants():
+    """Tile geometry must always divide the operand and keep at least one Q4
+    block per tile.  Regression: gpt2's MLP proj (half_k=1536, O=768) hit a
+    non-divisor area cap (1365) that decayed the halving loop to
+    block_kh=1 → a zero-row scales tile → ZeroDivisionError on TPU."""
+    from vsim_tpu.ops.pallas_q4 import _pick_blocks
+
+    shapes = [(1536, 768), (384, 768), (384, 3072), (1536, 3072),
+              (2048, 4096), (8192, 4096), (2048, 50432), (256, 256),
+              (2048, 12288), (2048, 16384)]
+    for half_k, O in shapes:
+        for n in (8, 16, 32, 64, 128):
+            bo, bkh = _pick_blocks(half_k, O, n)
+            assert O % bo == 0, (half_k, O, n, bo)
+            assert half_k % bkh == 0, (half_k, O, n, bkh)
+            assert bkh >= 16 and bkh % 16 == 0, (half_k, O, n, bkh)
+
+
+def test_pallas_gpt2_proj_shape():
+    """The exact shape class that broke: stacked kernel at gpt2's
+    w_proj [K=3072, O=768] with a decode-sized batch."""
+    from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul_stacked
+
+    L, O, K = 2, 768, 3072
+    rng = np.random.default_rng(11)
+    dense = (rng.standard_normal((L, O, K)) * 0.1).astype(np.float32)
+    stacked = Q4Tensor.from_dense_np(dense, scale_dtype=np.float32)
+    x = jnp.asarray((rng.standard_normal((1, K)) * 0.5).astype(np.float32))
+    one = Q4Tensor(packed=stacked.packed[0], scales=stacked.scales[0])
+    ref = q4_matmul(x, one, impl="xla")
+    got = pallas_q4_matmul_stacked(x, stacked, 0, interpret=INTERPRET,
+                                   acc_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_q4layer_dispatch_matches_slice():
     """q4_matmul on a Q4Layer must equal q4_matmul on the sliced Q4Tensor."""
     from vsim_tpu.ops.matmul import Q4Layer

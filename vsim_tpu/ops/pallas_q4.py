@@ -162,9 +162,14 @@ def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
         block_o = min(O, 2048)
         while O % block_o:
             block_o //= 2
-        block_kh = min(half_k, max(128, area // block_o))
-        while half_k % block_kh:
-            block_kh //= 2
+        # largest power-of-two divisor of half_k within the area budget
+        # (a plain cap can be a non-divisor — e.g. gpt2's proj half_k=1536
+        # with cap 1365 decayed the halving loop to block_kh=1 and a
+        # zero-sized scales tile)
+        cap = min(half_k, max(128, area // block_o))
+        block_kh = 16  # one Q4 block per nibble-plane row group
+        while block_kh * 2 <= cap and half_k % (block_kh * 2) == 0:
+            block_kh *= 2
         return block_o, block_kh
     kh_cap = 2048
     block_kh = min(half_k, kh_cap)
