@@ -162,3 +162,21 @@ def test_sha256_pin_detects_corruption(tmp_path, monkeypatch, capsys):
         assert "sha256" in capsys.readouterr().out
     finally:
         shutdown()
+
+
+def test_vocab_tokenizer_roundtrip():
+    """Model-file vocab fallback (reference vsim.cpp:127-174 + gpt_tokenize
+    utils.cpp:192-237): decode joins vocab bytes; encode greedy-matches the
+    longest entry."""
+    from vsim_tpu.api.interface import VocabTokenizer
+
+    vocab = [b"<unk>", b"hello", b" world", b"hel", b"lo", b" ", b"w", b"o",
+             b"r", b"l", b"d", b"!"]
+    tok = VocabTokenizer(vocab)
+    ids = tok.encode("hello world!")
+    # greedy longest-match picks the full-word entries
+    assert ids == [1, 2, 11]
+    assert tok.decode(ids) == "hello world!"
+    # unmappable bytes are skipped, out-of-range ids ignored in decode
+    assert tok.encode("hello\x00world!") == [1, 6, 7, 8, 9, 10, 11]
+    assert tok.decode([1, 999]) == "hello"

@@ -7,7 +7,8 @@ so these are the self-established baselines):
   * gpt2        INT4 (sampling + return-logits mode exercised)
   * codegen-2b  INT4 (GPT-J arch variant)
   * gpt-j-6b    INT4 batch-64 continuous-batching shape (headline)
-  * pythia-12b  INT4 batch-32 (12B model on one 16 GB chip)
+  * pythia-12b  INT4 batch-16 (12B model on one 16 GB chip; B=32 KV would
+    not leave headroom next to the 6.8 GB weights)
 
 Each config is one subprocess `python bench.py ...` (the TPU tunnel is
 single-client: strictly sequential, one python at a time), parsed from its
@@ -64,13 +65,32 @@ def main() -> int:
                 cmd, capture_output=True, text=True, timeout=1800, cwd=ROOT,
                 env=env,
             )
-            line = [ln for ln in out.stdout.strip().splitlines()
-                    if ln.startswith("{")][-1]
-            results[cfg["name"]] = json.loads(line)
-            print(f"   {line}", flush=True)
+            lines = [ln for ln in out.stdout.strip().splitlines()
+                     if ln.startswith("{")]
+            if out.returncode != 0 or not lines:
+                # bench.py crashed (or printed no JSON): record the actual
+                # failure — return code + stderr tail — not a parse error
+                # (round-2 lesson: the gpt2 kernel traceback was destroyed
+                # by indexing [-1] into empty stdout)
+                results[cfg["name"]] = {
+                    "error": f"bench.py exited {out.returncode} with no "
+                             f"JSON line",
+                    "stderr_tail": out.stderr[-2000:],
+                }
+                print(f"   FAILED rc={out.returncode}\n"
+                      f"   stderr tail: ...{out.stderr[-500:]}", flush=True)
+            else:
+                results[cfg["name"]] = json.loads(lines[-1])
+                print(f"   {lines[-1]}", flush=True)
         except Exception as e:  # noqa: BLE001 — record and continue
-            results[cfg["name"]] = {"error": f"{type(e).__name__}: {e}"[:500]}
-            print(f"   FAILED: {results[cfg['name']]['error']}", flush=True)
+            err = {"error": f"{type(e).__name__}: {e}"[:500]}
+            stderr = getattr(e, "stderr", None)  # TimeoutExpired carries it
+            if stderr:
+                if isinstance(stderr, bytes):
+                    stderr = stderr.decode("utf-8", "replace")
+                err["stderr_tail"] = stderr[-2000:]
+            results[cfg["name"]] = err
+            print(f"   FAILED: {err['error']}", flush=True)
         results[cfg["name"]]["wall_s_total"] = round(time.time() - t0, 1)
         # persist after EVERY config: compiles through the axon tunnel cost
         # 10+ min per program, so a timeout mid-matrix must not lose the

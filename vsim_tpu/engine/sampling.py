@@ -15,6 +15,13 @@ Exact token-stream parity with the reference binary is only defined for
 greedy decoding (std::discrete_distribution's consumption of mt19937 is
 implementation-defined — SURVEY.md §7 hard-part 5), so the RNG here is
 jax/numpy-seeded and parity tests pin greedy mode.
+
+Seeding semantics: ``sample_np`` draws from a ``np.random.Generator`` the
+caller owns; ``sample_jax`` consumes a ``jax.random`` key split per step by
+the engine (engine/generate.py).  The two samplers therefore produce the
+SAME distribution but DIFFERENT streams for the same integer seed — seeded
+reproducibility holds within one sampler, not across them (and neither
+matches the reference's mt19937 stream; greedy mode matches all three).
 """
 
 from __future__ import annotations

@@ -167,7 +167,12 @@ def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
         # with cap 1365 decayed the halving loop to block_kh=1 and a
         # zero-sized scales tile)
         cap = min(half_k, max(128, area // block_o))
-        block_kh = 16  # one Q4 block per nibble-plane row group
+        # start at the uint8 sublane tile (32) when divisibility allows:
+        # sub-32 block_kh would produce sub-tile scales blocks.  Today the
+        # matmul.py dispatch guard (K % 256 == 0) already guarantees the
+        # doubling loop passes 32, but this keeps the invariant local
+        # (ADVICE r2).
+        block_kh = 32 if half_k % 32 == 0 else 16
         while block_kh * 2 <= cap and half_k % (block_kh * 2) == 0:
             block_kh *= 2
         return block_o, block_kh
