@@ -47,6 +47,10 @@ def main() -> int:
                     "int4 plane-packed quarters it, enabling B=128: "
                     "4707 tok/s vs 3478 at int8/B=64 on GPT-J-6B; prefill "
                     "attends over full-precision k/v either way — fresh_kv)")
+    ap.add_argument("--unroll", default="auto", choices=["auto", "on", "off"],
+                    help="unroll the layer loop into per-layer flat Pallas "
+                    "kernels (auto: on for TPU; 'off' keeps the stacked "
+                    "scalar-prefetch kernels for A/B)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -73,7 +77,12 @@ def main() -> int:
     params = jax.device_put(params)
     wbytes = param_bytes(params)
 
-    engine = InferenceEngine(cfg, params)
+    unroll = {"auto": None, "on": True, "off": False}[args.unroll]
+    engine = InferenceEngine(cfg, params, unroll_layers=unroll)
+    # free the stacked weight buffers the engine just unstacked — keeping
+    # both copies alive would deny the KV cache its HBM (pythia-12b: 6.7 GB
+    # weights x2 on a 16 GB chip)
+    del params
     sp = SamplingParams(greedy=True)
     prompt = list(range(1, args.prompt_len + 1))
     t_start = time.perf_counter()
@@ -238,15 +247,28 @@ def _phase_attribution(cfg, params, B, kv_len, t_full_s, monitor):
     monitor.record("phase/full_step", t_full_s)
 
     lw = params["layers"]
+
+    def _is_q4_group(v):
+        return isinstance(v, Q4Tensor) or (
+            isinstance(v, tuple) and v and isinstance(v[0], Q4Tensor))
+
     groups = [k for k in ("w_qkv", "wq", "wk", "wv", "wo", "w_fc", "w_proj")
-              if k in lw and isinstance(lw[k], Q4Tensor)]
+              if k in lw and _is_q4_group(lw[k])]
 
     t_sum = 0.0
     for g in groups:
-        K = lw[g].in_features
+        unrolled = isinstance(lw[g], tuple)
+        K = (lw[g][0] if unrolled else lw[g]).in_features
 
-        def mm_step(p, carry, g=g, K=K):
+        def mm_step(p, carry, g=g, K=K, unrolled=unrolled):
             (x,) = carry
+            if unrolled:  # per-layer flat kernels, static indices
+                h = x
+                for il in range(L):
+                    y = q4_matmul(h, p["layers"][g][il],
+                                  compute_dtype=jnp.bfloat16)
+                    h = h + (y[..., :1] * 1e-9).astype(jnp.bfloat16)
+                return (h,)
 
             def body(c, _):
                 h, il = c

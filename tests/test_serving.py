@@ -104,3 +104,43 @@ def test_sharded_serving_matches_single_device(setup):
     out = srv.run(prompts, n_predict=n, stop_tokens=())
     got = [out[i].generated for i in range(len(prompts))]
     assert got == want
+
+
+def test_speculative_serving_matches_plain(setup):
+    """Spec serving (NgramDrafter in the continuous-batching step) must be
+    bit-identical to the plain greedy step — only the number of target
+    forwards may differ (greedy verification, engine/speculative.py)."""
+    from vsim_tpu.engine.speculative import NgramDrafter
+
+    cfg, params = setup
+    prompts = [[1, 2, 3], [7, 8, 9, 10, 11], [42], [5, 4, 3, 2]]
+    n = 16
+    want = [_reference_stream(cfg, params, p, n) for p in prompts]
+
+    srv = ServingEngine(cfg, params, max_batch=4,
+                        drafter=NgramDrafter(m=2, gamma=4))
+    out = srv.run(prompts, n_predict=n, stop_tokens=())
+    got = [r.generated for r in sorted(out.values(),
+                                       key=lambda r: r.request_id)]
+    assert got == want
+    # untrained tiny models loop quickly: prompt-lookup drafts must land,
+    # i.e. strictly fewer target forwards than tokens (tokens/cycle > 1)
+    assert srv.spec_cycles > 0
+    assert srv.spec_emitted > srv.spec_cycles, (
+        srv.spec_emitted, srv.spec_cycles)
+
+
+def test_speculative_serving_staggered(setup):
+    """Slot reuse + mid-flight admission under spec steps."""
+    from vsim_tpu.engine.speculative import NgramDrafter
+
+    cfg, params = setup
+    srv = ServingEngine(cfg, params, max_batch=2,
+                        drafter=NgramDrafter(m=2, gamma=3))
+    prompts = [[1, 2, 3], [9, 8, 7], [11, 12], [4], [6, 5, 4, 3]]
+    n = 10
+    want = [_reference_stream(cfg, params, p, n) for p in prompts]
+    out = srv.run(prompts, n_predict=n, stop_tokens=())
+    got = [r.generated for r in sorted(out.values(),
+                                       key=lambda r: r.request_id)]
+    assert got == want

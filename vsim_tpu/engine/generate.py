@@ -58,6 +58,7 @@ class InferenceEngine:
         kv_dtype=None,
         donate_cache: bool = True,
         decode_chunk: int = 16,
+        unroll_layers: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -78,6 +79,24 @@ class InferenceEngine:
             from vsim_tpu.models.init import fuse_qkv_params
 
             self.params = fuse_qkv_params(cfg, self.params)
+
+        # Unroll the layer loop: per-layer Q4 buffers → flat Pallas kernels
+        # with static layer indices (the stacked scalar-prefetch kernel costs
+        # 1.8-3.8x per tile, BASELINE.md r2).  Auto: on TPU whenever the
+        # model carries stacked Q4 weights.  Callers should drop their own
+        # reference to the stacked params after constructing the engine so
+        # the stacked buffers actually free (models/init.py:
+        # unstack_layer_params memory note).
+        if unroll_layers is None:
+            unroll_layers = jax.default_backend() == "tpu" and any(
+                isinstance(v, _Q4) and v.packed.ndim == 3
+                for v in self.params["layers"].values()
+            )
+        if unroll_layers:
+            from vsim_tpu.models.init import unstack_layer_params
+
+            self.params = unstack_layer_params(self.params)
+        self.unrolled = unroll_layers
 
         donate = (2,) if donate_cache else ()
 

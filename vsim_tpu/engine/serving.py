@@ -79,6 +79,7 @@ class ServingEngine:
         seed: int = 0,
         repeat_window: int = 64,
         mesh=None,
+        drafter=None,
     ):
         self.cfg = cfg
         from vsim_tpu.quant.q4 import Q4Tensor as _Q4
@@ -157,6 +158,57 @@ class ServingEngine:
         self._prefill_batch = _prefill_batch
         self._step_fn = _step
 
+        # ---- speculative serving (engine/speculative.py brought into the
+        # continuous-batching step).  The drafter proposes gamma tokens per
+        # active slot from the slot's token history; ONE ragged target
+        # forward over [cur, d1..dgamma] verifies them all; each slot
+        # advances by its own accepted prefix + 1.  Greedy-only: acceptance
+        # compares against argmax, which keeps the output bit-identical to
+        # the plain step (Leviathan-style greedy verification).
+        self.drafter = drafter
+        self.spec_cycles = 0  # target forwards taken by spec steps
+        self.spec_emitted = 0  # tokens those forwards produced
+        if drafter is not None:
+            assert self.sampling.greedy, (
+                "speculative serving verifies against the greedy argmax; "
+                "pass SamplingParams(greedy=True)")
+            gamma = drafter.gamma
+            self.history = jnp.full((max_batch, self.n_ctx), -1, jnp.int32)
+
+            @partial(jax.jit, donate_argnums=(1,),
+                     static_argnames=("kv_len",))
+            def _spec_step(params, cache, tokens, n_past, history, active,
+                           *, kv_len):
+                B = tokens.shape[0]
+                b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+                drafts, _ = drafter.propose(
+                    None, None, tokens, history, n_past, kv_len)
+                verify_in = jnp.concatenate([tokens[:, None], drafts], axis=1)
+                # inactive rows take the write-nothing sentinel (ragged
+                # _kv_write drops their KV writes)
+                np_eff = jnp.where(active, n_past, jnp.int32(self.n_ctx))
+                logits, cache = forward(cfg, params, verify_in, cache,
+                                        np_eff, kv_len=kv_len)
+                targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = drafts == targets[:, :gamma]
+                a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                            axis=1)  # [B] accepted draft count
+                bonus = jnp.take_along_axis(targets, a[:, None], axis=1)[:, 0]
+                j = jnp.arange(gamma + 1, dtype=jnp.int32)[None, :]
+                emit = jnp.where(
+                    j < a[:, None],
+                    jnp.pad(drafts, ((0, 0), (0, 1))),
+                    bonus[:, None])  # [B, gamma+1]; cols > a unused
+                emit_ok = (j <= a[:, None]) & active[:, None]
+                hpos = jnp.where(emit_ok, n_past[:, None] + 1 + j,
+                                 history.shape[1])
+                history = history.at[b_idx, hpos].set(emit, mode="drop")
+                n_emit = jnp.where(active, a + 1, 0)
+                tokens = jnp.where(active, bonus, tokens)
+                return cache, tokens, n_past + n_emit, history, emit, n_emit
+
+            self._spec_step_fn = _spec_step
+
     # ------------------------------------------------------------------
 
     def submit(
@@ -234,6 +286,16 @@ class ServingEngine:
         new_windows = np.concatenate([windows[:, 1:], toks_host[:, None]],
                                      axis=1)
         slots = np.asarray([r.slot for r in admitted], np.int32)
+        if self.drafter is not None:
+            # token history drives the drafter (prompt-lookup) and records
+            # the pending token at position n_past (engine/speculative.py
+            # history invariant)
+            hist_rows = np.full((len(admitted), self.n_ctx), -1, np.int32)
+            for i, r in enumerate(admitted):
+                n_prompt = len(r.prompt_ids)
+                hist_rows[i, :n_prompt] = r.prompt_ids
+                hist_rows[i, n_prompt] = toks_host[i]
+            self.history = self.history.at[slots].set(jnp.asarray(hist_rows))
         self.tokens = self.tokens.at[slots].set(toks)
         self.n_past = self.n_past.at[slots].set(
             jnp.asarray([len(r.prompt_ids) for r in admitted], jnp.int32))
@@ -267,6 +329,9 @@ class ServingEngine:
         self._admit()
         if not self._active:
             return []
+        if self.drafter is not None:
+            with monitor.span("serve/spec_step"):
+                return self._step_active_spec()
         with monitor.span("serve/step"):
             return self._step_active()
 
@@ -292,6 +357,36 @@ class ServingEngine:
             self._emit(req, int(toks[slot]))
             if req.done:
                 finished.append(req.request_id)
+        return finished
+
+    def _step_active_spec(self) -> List[int]:
+        """One speculative serving step: every active slot advances by its
+        own accepted-prefix+1 tokens in a single gamma+1-token ragged
+        forward.  Output is bit-identical to _step_active (greedy)."""
+        active_mask = np.zeros((self.max_batch,), bool)
+        longest = 1
+        for slot, req in self._active.items():
+            active_mask[slot] = True
+            longest = max(longest, len(req.prompt_ids) + len(req.generated))
+        gamma = self.drafter.gamma
+        need = longest + gamma + 2
+        kv_len = min(self.n_ctx, max(128, -(-need // 128) * 128))
+        self.cache, self.tokens, self.n_past, self.history, emit, n_emit = (
+            self._spec_step_fn(
+                self.params, self.cache, self.tokens, self.n_past,
+                self.history, jnp.asarray(active_mask), kv_len=kv_len))
+        emit_h = np.asarray(emit)
+        n_emit_h = np.asarray(n_emit)
+        self.spec_cycles += 1
+        finished = []
+        for slot, req in list(self._active.items()):
+            room = self.n_ctx - 1 - (len(req.prompt_ids) + len(req.generated))
+            for jj in range(min(int(n_emit_h[slot]), max(room, 1))):
+                self.spec_emitted += 1
+                self._emit(req, int(emit_h[slot, jj]))
+                if req.done:
+                    finished.append(req.request_id)
+                    break
         return finished
 
     def run(

@@ -162,6 +162,45 @@ def random_q4_params(cfg: ModelConfig, seed: int = 0, scale_dtype=DEFAULT_SCALE_
     return params
 
 
+def unstack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Split each layer-stacked Q4 weight into a TUPLE of per-layer
+    Q4Tensors (separate device buffers).
+
+    This feeds the unrolled decode path (models/transformer.py:forward with
+    per-layer weights): each layer's matmul then runs the FLAT Pallas kernel
+    on its own buffer instead of the scalar-prefetch stacked kernel, whose
+    layer-indexed tile fetches measured 3.6-7.6 us/tile vs 2.0 flat at
+    identical tile shapes (BASELINE.md r2; the two-round B=1 decode wall).
+
+    Non-Q4 entries (LN weights, biases — dense-weight models too) stay
+    stacked: a static ``v[il]`` slice of a small array fuses in XLA.
+
+    Memory: groups are unstacked one at a time and the stacked buffer
+    dropped immediately, so peak device use is weights + one group
+    (~1 GB for GPT-J-6B's fc) — PROVIDED the caller drops its own
+    reference to the stacked params (the engine owns this pattern).
+    """
+    import jax
+
+    old_layers = dict(params["layers"])
+    layers: Dict[str, Any] = {}
+    for k in list(old_layers):
+        v = old_layers.pop(k)
+        if isinstance(v, Q4Tensor) and v.packed.ndim == 3:
+            L = v.packed.shape[0]
+            per = tuple(
+                Q4Tensor(packed=v.packed[i], scales=v.scales[i])
+                for i in range(L)
+            )
+            # materialize the slices before dropping the stack
+            jax.block_until_ready([t.packed for t in per])
+            del v
+            layers[k] = per
+        else:
+            layers[k] = v
+    return dict(params, layers=layers)
+
+
 def param_bytes(params) -> int:
     import jax
 

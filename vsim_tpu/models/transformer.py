@@ -414,6 +414,32 @@ def forward(
 
     slopes = alibi_slopes(cfg.n_head) if cfg.alibi else None
 
+    # Unrolled layout (models/init.py:unstack_layer_params): Q4 weights are
+    # per-layer tuples, so trace a Python loop with STATIC layer indices —
+    # every matmul runs the flat Pallas kernel on its own buffer.  This is
+    # the B=1 decode fix: the scalar-prefetch stacked kernel's layer-indexed
+    # tile fetches cost 1.8-3.8x the flat kernel's per tile (BASELINE.md r2),
+    # and with static il there is nothing left to index dynamically.  The
+    # small stacked arrays (LN/bias) take static slices, fused by XLA.
+    if any(isinstance(v, tuple) for v in params["layers"].values()):
+        k_all = cache["k"] if cache is not None else None
+        v_all = cache["v"] if cache is not None else None
+        for il in range(cfg.n_layer):
+            lp = {k: v[il] for k, v in params["layers"].items()}
+            x, k_all, v_all = decoder_layer(
+                cfg, lp, x, k_all, v_all, jnp.int32(il), positions, n_past,
+                slopes, kv_len, fresh_kv,
+            )
+        x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
+        logits = q4_matmul(x, params["lm_head"], compute_dtype=cdt)
+        if logits.shape[-1] != cfg.n_vocab:
+            logits = logits[..., : cfg.n_vocab]
+        if "lm_head_b" in params:
+            logits = logits + params["lm_head_b"].astype(logits.dtype)
+        logits = constrain(logits, "batch", None, "vocab")
+        new_cache = None if cache is None else {"k": k_all, "v": v_all}
+        return logits.astype(jnp.float32), new_cache
+
     # The KV cache rides in the scan *carry* and each layer updates its slice
     # in place (dynamic_update_index_in_dim on a carried buffer aliases, so
     # XLA keeps ONE cache allocation; passing the cache through scan xs/ys
