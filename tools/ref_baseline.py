@@ -282,8 +282,13 @@ def main() -> int:
     prompt = windows[0][:8] if windows else [1, 3, 4, 5, 9, 7, 11, 13]
     print("== perf (golden config) ==", flush=True)
     result["perf"] = {}
+    result["perf_note"] = (
+        "threads=1 only (the golden config's value, Makefile-ubuntu:26): "
+        "this container has 2 cores and the reference thread pool spin-waits "
+        "(ggml.c:8197-8243), so multi-thread numbers here measure scheduler "
+        "thrash, not the engine")
     for tag, model in (("q4_0", q4_bin), ("f32", f32_bin)):
-        for threads in (1, 4):
+        for threads in (1,):
             r = perf_run(binary, model, prompt, args.n_predict, threads)
             result["perf"][f"{tag}_t{threads}"] = r
             print(f"  {tag} threads={threads}: {r['tokens_per_s']} tok/s "
