@@ -47,6 +47,9 @@ def main() -> int:
                     "int4 plane-packed quarters it, enabling B=128: "
                     "4707 tok/s vs 3478 at int8/B=64 on GPT-J-6B; prefill "
                     "attends over full-precision k/v either way — fresh_kv)")
+    ap.add_argument("--math", default=None, choices=["i32", "f32x", "f32xf"],
+                    help="Q4 dequant math variant (ops/pallas_q4.py "
+                    "set_dequant_math) for full-model A/B")
     ap.add_argument("--unroll", default="auto", choices=["auto", "on", "off"],
                     help="unroll the layer loop into per-layer flat Pallas "
                     "kernels (auto: on for TPU; 'off' keeps the stacked "
@@ -69,6 +72,10 @@ def main() -> int:
     from vsim_tpu.ops.matmul import set_default_impl
 
     set_default_impl(args.impl)
+    if args.math:
+        from vsim_tpu.ops.pallas_q4 import set_dequant_math
+
+        set_dequant_math(args.math)
 
     cfg = PRESETS[args.model].replace(
         n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype=args.kv

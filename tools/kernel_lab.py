@@ -167,6 +167,35 @@ def _k_f32f(xe_ref, xo_ref, p_ref, s_ref, o_ref):
     o_ref[:] += acc
 
 
+def _k_f32xf(xe_ref, xo_ref, p_ref, s_ref, o_ref):
+    """f32x WITHOUT the per-plane bf16 casts: planes stay f32 and the MXU
+    dot runs f32 (x cast to f32 is per-activation-element, not per-weight).
+    Saves 2 ops per weight element vs f32x; the bias is subtracted BEFORE
+    the scale multiply (the folded-bias FMA form cancels catastrophically —
+    never use it)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    p = p_ref[:].astype(jnp.int32)
+    magic = jnp.int32(0x4B000000)
+    lo = jax.lax.bitcast_convert_type((p & 0x0F) | magic, jnp.float32)
+    hi = jax.lax.bitcast_convert_type((p >> 4) | magic, jnp.float32)
+    s = s_ref[:].astype(jnp.float32)
+    tkh, to = p.shape
+    sexp = _expand_scales(s, tkh, to)
+    off = jnp.float32(8388608.0 + 8.0)
+    wlo = (lo - off) * sexp
+    whi = (hi - off) * sexp
+    acc = jnp.dot(xe_ref[:].astype(jnp.float32), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:].astype(jnp.float32), whi,
+                   preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
 def _k_i32f(xe_ref, xo_ref, p_ref, s_ref, o_ref):
     """i32 unpack + f32 dot (no bf16 converts), scale via plain multiply."""
     k = pl.program_id(1)
@@ -246,8 +275,111 @@ def res_matmul(xe, xo, packed, scales, *, block_o, chunk=512):
     )(xe, xo, packed, scales)
 
 
+def _k_w32(xre_ref, xro_ref, p_ref, s_ref, o_ref, *, block_kh):
+    """Word-packed variant: 4 consecutive packed bytes ride ONE int32 lane
+    (host repack, pack_w32), so nibble extraction runs entirely in i32 lanes
+    with NO u8→i32 widening relayout.  Plane j of a tile = original rows
+    {4r'+j}; the activations arrive pre-permuted per tile (x_reorder_w32) so
+    each plane's x is a CONTIGUOUS lane slice.  Scale expansion collapses to
+    one 4x broadcast shared by all 8 plane dequants (block of plane row r'
+    is r'//4 for every j)."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w = p_ref[:]  # [bkh, TO] int32, 4 packed bytes per lane
+    bkh, to = w.shape
+    s = s_ref[:].astype(jnp.float32)  # [bkh//4, TO]
+    sexp = _expand_scales(s, bkh, to)  # block of plane row r' == r'//4
+    magic = jnp.int32(0x4B000000)
+    off = jnp.float32(8388608.0 + 8.0)
+    acc = jnp.zeros((xre_ref.shape[0], to), jnp.float32)
+    for j in range(4):
+        lo = jax.lax.bitcast_convert_type(
+            ((w >> (8 * j)) & 0xF) | magic, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            ((w >> (8 * j + 4)) & 0xF) | magic, jnp.float32)
+        wlo = ((lo - off) * sexp).astype(jnp.bfloat16)
+        whi = ((hi - off) * sexp).astype(jnp.bfloat16)
+        xj = xre_ref[:, pl.ds(j * block_kh, block_kh)]
+        yj = xro_ref[:, pl.ds(j * block_kh, block_kh)]
+        acc += jnp.dot(xj, wlo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(yj, whi, preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def pack_w32(packed: np.ndarray) -> np.ndarray:
+    """[K/2, O] uint8 → [K/8, O] int32: 4 consecutive K-rows per word."""
+    hk, O = packed.shape
+    assert hk % 4 == 0
+    p = packed.reshape(hk // 4, 4, O).astype(np.uint32)
+    w = p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16) | (p[:, 3] << 24)
+    return w.view(np.int32)
+
+
+def x_reorder_w32(x_half: jnp.ndarray, block_kh: int) -> jnp.ndarray:
+    """[N, K/2] plane → tile-local plane-major order: lane c = t*4bkh+4r'+j
+    moves to [t, j, r'] so the kernel's per-plane x is a contiguous slice."""
+    N, hk = x_half.shape
+    t = hk // (4 * block_kh)
+    return (x_half.reshape(N, t, block_kh, 4)
+            .swapaxes(-1, -2).reshape(N, hk))
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "block_kh",
+                                             "interpret"))
+def w32_matmul(xe, xo, w32, scales, *, block_o, block_kh, interpret=False):
+    """block_kh counts int32 WORD rows (= 4 packed rows = 8 K elements)."""
+    N, half_k = xe.shape
+    O = w32.shape[1]
+    nb_per_tile = block_kh // 4  # one Q4 block per 4 word rows
+    grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, 4 * block_kh))
+    xre = x_reorder_w32(xe, block_kh)
+    xro = x_reorder_w32(xo, block_kh)
+    return pl.pallas_call(
+        functools.partial(_k_w32, block_kh=block_kh),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, 4 * block_kh), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 4 * block_kh), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_per_tile, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, block_o), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xre, xro, w32, scales)
+
+
+def check_numerics_w32(block_o=512, block_kh=128, interpret=False):
+    from vsim_tpu.quant.q4 import dequantize_km
+
+    rng = np.random.default_rng(1)
+    O = K = 1024
+    w = jax.device_put(Q4Tensor.from_dense_np(
+        rng.standard_normal((O, K)).astype(np.float32)))
+    w32 = jnp.asarray(pack_w32(np.asarray(w.packed)))
+    x = jnp.asarray(rng.standard_normal((8, K)), jnp.bfloat16)
+    ref = (x.astype(jnp.float32) @ dequantize_km(w, jnp.float32))
+    got = w32_matmul(x[:, 0::2], x[:, 1::2], w32, w.scales,
+                     block_o=min(block_o, O), block_kh=min(block_kh, K // 8),
+                     interpret=interpret)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    return float(jnp.max(jnp.abs(got - ref))) / scale
+
+
 KERNELS = {"dma": _k_dma, "i32": _k_i32, "u16": _k_u16, "f32x": _k_f32x,
-           "f32f": _k_f32f, "i32f": _k_i32f}
+           "f32f": _k_f32f, "i32f": _k_i32f, "f32xf": _k_f32xf}
 
 
 @functools.partial(jax.jit, static_argnames=("variant", "block_o", "block_kh"))
@@ -278,20 +410,25 @@ def variant_matmul(xe, xo, packed, scales, *, variant, block_o, block_kh):
     )(xe, xo, packed, scales)
 
 
-def bench(O, K, batch, fn, iters=24, reps_in_step=8):
+def bench(O, K, batch, fn, iters=24, reps_in_step=8, w_transform=None):
     """reps_in_step chained kernel invocations per jit dispatch amortize the
-    per-dispatch launch overhead (~0.2 ms) below the kernel time."""
+    per-dispatch launch overhead (~0.2 ms) below the kernel time.
+    ``w_transform(packed_np) -> array`` substitutes a repacked weight
+    (e.g. pack_w32) for the kernels that want a different layout."""
     rng = np.random.default_rng(0)
     w = Q4Tensor.from_dense_np(
         rng.standard_normal((O, K)).astype(np.float32))
+    wp = (jnp.asarray(w_transform(np.asarray(w.packed)))
+          if w_transform is not None else w.packed)
     w = jax.device_put(w)
+    wp = jax.device_put(wp)
     x0 = jnp.asarray(rng.standard_normal((batch, K)), jnp.bfloat16)
     xe0, xo0 = x0[:, 0::2], x0[:, 1::2]
 
     @jax.jit
     def step(xe, xo):
         for _ in range(reps_in_step):
-            y = fn(xe, xo, w.packed, w.scales)
+            y = fn(xe, xo, wp, w.scales)
             d = (y[:, :1] * 1e-9).astype(jnp.bfloat16)
             xe, xo = xe0 + d, xo0 + d
         return xe, xo
@@ -362,6 +499,25 @@ def main():
     # shift/and.  u16 therefore unpacks in i32 and narrows.
     O, K = (int(t) for t in args.shape.split(","))
     for v in args.variants.split(","):
+        if v == "w32":
+            # block_kh here counts int32 WORD rows (4 packed rows each)
+            for (bo, bkhw) in ([(2048, 128), (2048, 64), (1024, 256),
+                                (2048, 256)]
+                               if args.sweep_blocks else [(2048, 128)]):
+                bo2 = min(bo, O)
+                bkhw2 = min(bkhw, K // 8)
+                try:
+                    fn = functools.partial(w32_matmul, block_o=bo2,
+                                           block_kh=bkhw2)
+                    ms, gbs = bench(O, K, args.batch, fn,
+                                    w_transform=pack_w32)
+                    err = f"{check_numerics_w32(bo2, bkhw2):.2e}"
+                    print(f"w32  bo={bo2:5d} khw={bkhw2:4d}  {ms:7.3f} ms "
+                          f"{gbs:7.1f} GB/s  relerr={err}", flush=True)
+                except Exception as e:
+                    print(f"w32  bo={bo2:5d} khw={bkhw2:4d}  FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
         if v == "res":
             for (bo, chunk) in ([(256, 512), (512, 512), (256, 1024),
                                  (1024, 512), (512, 256)]

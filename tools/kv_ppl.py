@@ -65,7 +65,12 @@ def main() -> int:
     W, T = args.windows, args.win_len
     need = W * T
     assert len(eval_bytes) >= need, (len(eval_bytes), need)
-    ids_np = np.asarray(eval_bytes[:need], np.int32).reshape(W, T)
+    # windows strided evenly over the WHOLE eval set, so the absolute ppl is
+    # comparable with PPL.json's full-200K rows (the first eval files alone
+    # measured ~2x the corpus-wide ppl)
+    starts = np.linspace(0, len(eval_bytes) - T, W).astype(np.int64)
+    ids_np = np.stack([np.asarray(eval_bytes[s: s + T], np.int32)
+                       for s in starts])
     ids = jnp.asarray(ids_np)
 
     results = {}

@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel degree: shard params/cache over a "
                     "(1, tp) mesh (ServingEngine mesh=)")
+    ap.add_argument("--spec", action="store_true",
+                    help="speculative serving: NgramDrafter in the step "
+                    "(greedy verification — bit-identical output, fewer "
+                    "target forwards)")
+    ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--cpu", action="store_true",
                     help="run on the virtual CPU device mesh (scaling-shape "
                     "check without claiming the TPU tunnel; set XLA_FLAGS="
@@ -74,10 +79,15 @@ def main() -> int:
         for _ in range(args.requests)
     ]
 
+    drafter = None
+    if args.spec:
+        from vsim_tpu.engine.speculative import NgramDrafter
+
+        drafter = NgramDrafter(m=3, gamma=args.gamma)
     eng = ServingEngine(cfg, params, max_batch=args.max_batch,
                         n_ctx=args.n_ctx,
                         sampling=SamplingParams(greedy=True), seed=args.seed,
-                        mesh=mesh)
+                        mesh=mesh, drafter=drafter)
 
     # warm the compile caches (prefill buckets + step) with two requests
     eng.run(prompts[:2], n_predict=4, stop_tokens=())
@@ -116,6 +126,15 @@ def main() -> int:
             "device": str(jax.devices()[0]),
         },
     }
+    if args.spec:
+        result["extra"]["spec"] = {
+            "gamma": args.gamma,
+            "cycles": eng.spec_cycles,
+            "emitted": eng.spec_emitted,
+            # >1 means each target forward produced more than one token
+            "tokens_per_cycle": round(
+                eng.spec_emitted / max(eng.spec_cycles, 1), 3),
+        }
     print(json.dumps(result))
     return 0
 

@@ -50,21 +50,53 @@ from jax.experimental.pallas import tpu as pltpu
 from vsim_tpu.quant.q4 import QK, Q4Tensor
 
 
-def _dequant_planes(p_ref, s_ref, acc_dtype, stacked: bool):
+# Dequant math variant, settable for A/B on the full model (tools/kernel_lab
+# microbenches are noise-limited on this 2-core host):
+#   i32   — int unpack, sitofp, f32 scale mul, cast to acc_dtype (original)
+#   f32x  — mantissa-OR bitcast (0x4B000000 | v == 2^23 + v), subtract the
+#           offset BEFORE the scale multiply (the folded-bias FMA form
+#           cancels catastrophically — never fold), cast to acc_dtype
+#   f32xf — f32x but planes stay f32 and the dot runs f32 (drops both
+#           per-weight-element casts; x is cast instead, which is per-
+#           activation-element)
+_DEQUANT_MATH = "i32"
+
+
+def set_dequant_math(name: str) -> None:
+    global _DEQUANT_MATH
+    assert name in ("i32", "f32x", "f32xf")
+    _DEQUANT_MATH = name
+
+
+def get_dequant_math() -> str:
+    return _DEQUANT_MATH
+
+
+def _dequant_planes(p_ref, s_ref, acc_dtype, stacked: bool, math=None):
     p = (p_ref[0] if stacked else p_ref[:]).astype(jnp.int32)
-    lo = (p & 0x0F) - 8  # elements k = 2c   (low nibble)
-    hi = (p >> 4) - 8  # elements k = 2c+1 (high nibble)
     s = (s_ref[0] if stacked else s_ref[:]).astype(jnp.float32)
     nb, to = s.shape
     tkh = p.shape[0]
     # each Q4 block covers 16 consecutive rows of each nibble plane
     sexp = jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
-    wlo = (lo.astype(jnp.float32) * sexp).astype(acc_dtype)
-    whi = (hi.astype(jnp.float32) * sexp).astype(acc_dtype)
+    math = math or _DEQUANT_MATH
+    if math == "i32":
+        lo = (p & 0x0F) - 8  # elements k = 2c   (low nibble)
+        hi = (p >> 4) - 8  # elements k = 2c+1 (high nibble)
+        wlo = (lo.astype(jnp.float32) * sexp).astype(acc_dtype)
+        whi = (hi.astype(jnp.float32) * sexp).astype(acc_dtype)
+        return wlo, whi
+    magic = jnp.int32(0x4B000000)
+    off = jnp.float32(8388608.0 + 8.0)
+    lo = jax.lax.bitcast_convert_type((p & 0x0F) | magic, jnp.float32)
+    hi = jax.lax.bitcast_convert_type((p >> 4) | magic, jnp.float32)
+    out_dt = jnp.float32 if math == "f32xf" else acc_dtype
+    wlo = ((lo - off) * sexp).astype(out_dt)
+    whi = ((hi - off) * sexp).astype(out_dt)
     return wlo, whi
 
 
-def _kernel(xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype):
+def _kernel(xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype, math):
     """One (o_tile, k_tile) grid step: dequantize a [TKh, TO] packed tile and
     accumulate two half-K dots into the output tile.
 
@@ -79,17 +111,19 @@ def _kernel(xe_ref, xo_ref, p_ref, s_ref, o_ref, *, acc_dtype):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    wlo, whi = _dequant_planes(p_ref, s_ref, acc_dtype, stacked=False)
-    acc = jnp.dot(xe_ref[:].astype(acc_dtype), wlo,
+    wlo, whi = _dequant_planes(p_ref, s_ref, acc_dtype, stacked=False,
+                               math=math)
+    acc = jnp.dot(xe_ref[:].astype(wlo.dtype), wlo,
                   preferred_element_type=jnp.float32)
-    acc += jnp.dot(xo_ref[:].astype(acc_dtype), whi,
+    acc += jnp.dot(xo_ref[:].astype(whi.dtype), whi,
                    preferred_element_type=jnp.float32)
     o_ref[:] += acc.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret"),
+    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret",
+                     "math"),
 )
 def _pallas_q4_matmul_2d(
     xe: jnp.ndarray,  # [N, K/2]
@@ -101,6 +135,7 @@ def _pallas_q4_matmul_2d(
     block_kh: int,
     acc_dtype,
     interpret: bool,
+    math: str = "i32",
 ) -> jnp.ndarray:
     N, half_k = xe.shape
     O = packed.shape[1]
@@ -109,7 +144,7 @@ def _pallas_q4_matmul_2d(
     grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, acc_dtype=acc_dtype),
+        functools.partial(_kernel, acc_dtype=acc_dtype, math=math),
         grid=grid,
         in_specs=[
             pl.BlockSpec((N, block_kh), lambda i, k: (0, k),
@@ -188,7 +223,7 @@ def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
 
 
 def _kernel_stacked(il_ref, xe_ref, xo_ref, p_ref, s_ref, o_ref, *,
-                    acc_dtype):
+                    acc_dtype, math):
     """Stacked-layer variant: weight blocks carry a leading layer dim of 1,
     selected by the scalar-prefetched layer index (see
     pallas_q4_matmul_stacked)."""
@@ -199,17 +234,19 @@ def _kernel_stacked(il_ref, xe_ref, xo_ref, p_ref, s_ref, o_ref, *,
         o_ref[:] = jnp.zeros_like(o_ref)
 
     xe, xo = xe_ref[:], xo_ref[:]
-    wlo, whi = _dequant_planes(p_ref, s_ref, acc_dtype, stacked=True)
-    acc = jnp.dot(xe.astype(acc_dtype), wlo,
+    wlo, whi = _dequant_planes(p_ref, s_ref, acc_dtype, stacked=True,
+                               math=math)
+    acc = jnp.dot(xe.astype(wlo.dtype), wlo,
                   preferred_element_type=jnp.float32)
-    acc += jnp.dot(xo.astype(acc_dtype), whi,
+    acc += jnp.dot(xo.astype(whi.dtype), whi,
                    preferred_element_type=jnp.float32)
     o_ref[:] += acc.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret"),
+    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret",
+                     "math"),
 )
 def _pallas_q4_matmul_stacked_2d(
     il: jnp.ndarray,  # int32 [1]
@@ -222,6 +259,7 @@ def _pallas_q4_matmul_stacked_2d(
     block_kh: int,
     acc_dtype,
     interpret: bool,
+    math: str = "i32",
 ) -> jnp.ndarray:
     N, half_k = xe.shape
     O = packed.shape[-1]
@@ -229,7 +267,8 @@ def _pallas_q4_matmul_stacked_2d(
     grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
 
     return pl.pallas_call(
-        functools.partial(_kernel_stacked, acc_dtype=acc_dtype),
+        functools.partial(_kernel_stacked, acc_dtype=acc_dtype,
+                          math=math),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -292,7 +331,7 @@ def pallas_q4_matmul_stacked(
     y = _pallas_q4_matmul_stacked_2d(
         jnp.asarray(il, jnp.int32).reshape(1), xe, xo, w.packed, w.scales,
         block_o=block_o, block_kh=block_kh,
-        acc_dtype=acc_dtype, interpret=interpret,
+        acc_dtype=acc_dtype, interpret=interpret, math=_DEQUANT_MATH,
     )
     return y[:n].reshape(*lead, O)
 
@@ -318,6 +357,6 @@ def pallas_q4_matmul(
     y = _pallas_q4_matmul_2d(
         xe, xo, w.packed, w.scales,
         block_o=block_o, block_kh=block_kh,
-        acc_dtype=acc_dtype, interpret=interpret,
+        acc_dtype=acc_dtype, interpret=interpret, math=_DEQUANT_MATH,
     )
     return y[:n].reshape(*lead, O)
