@@ -229,3 +229,40 @@ def test_q4_1_ggml_tensor_load(tmp_path):
     np.testing.assert_allclose(deq, dequantize_q4_1_np(packed, deltas, mins))
     wgt = t.to_weight()
     assert wgt.shape == (O, K)
+
+
+def test_plane_split_roundtrip():
+    """to_plane_split preserves dequantized values exactly (byte c moves
+    from elements 2c|2c+1 to c|c+K/2; scales untouched)."""
+    import jax.numpy as jnp
+
+    from vsim_tpu.quant.q4 import Q4Tensor, dequantize_km, to_plane_split
+
+    rng = np.random.default_rng(5)
+    w = Q4Tensor.from_dense_np(rng.standard_normal((96, 128)).astype(np.float32))
+    ps = to_plane_split(w)
+    assert ps.layout == "ps" and w.layout == "i"
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_km(ps)), np.asarray(dequantize_km(w)))
+    # idempotent + pad_out preserves layout
+    assert to_plane_split(ps) is ps
+    assert ps.pad_out(256).layout == "ps"
+
+
+def test_plane_split_kernel_parity():
+    """Glue-free ps kernel (interpret) == XLA oracle, N=1 and N=8."""
+    import jax.numpy as jnp
+
+    from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul_ps
+    from vsim_tpu.quant.q4 import Q4Tensor, dequantize_km, to_plane_split
+
+    rng = np.random.default_rng(6)
+    w = Q4Tensor.from_dense_np(
+        rng.standard_normal((512, 1024)).astype(np.float32))
+    ps = to_plane_split(w)
+    for n in (1, 8):
+        x = jnp.asarray(rng.standard_normal((n, 1024)), jnp.float32)
+        ref = np.asarray(x @ dequantize_km(w, jnp.float32))
+        got = np.asarray(pallas_q4_matmul_ps(
+            x, ps, acc_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

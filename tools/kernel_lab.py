@@ -378,6 +378,101 @@ def check_numerics_w32(block_o=512, block_kh=128, interpret=False):
     return float(jnp.max(jnp.abs(got - ref))) / scale
 
 
+def _k_ps(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, block_kh, half_k):
+    """PLANE-SPLIT, GLUE-FREE variant: weights repacked so byte c holds
+    elements (c, c + K/2) — the two activation planes become CONTIGUOUS
+    halves of x, so the kernel takes the RAW [N, K] x (resident, whole-K
+    block, no host-side deinterleave/pad/slice) and lane-slices per k step.
+    Scales arrive as two inputs indexing the lo rows (c//32) and hi rows
+    (K/64 + c//32).  Motivation: the model-level phase table shows ~50 us
+    of host glue per production matmul call (wo: 71 us/call vs 18 us for
+    the glue-free kernel) — 113 calls/step makes glue the B=1 wall."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    xlo = x_ref[:, pl.ds(k_step * block_kh, block_kh)]
+    xhi = x_ref[:, pl.ds(half_k + k_step * block_kh, block_kh)]
+    p = p_ref[:].astype(jnp.int32)
+    lo = (p & 0x0F) - 8
+    hi = (p >> 4) - 8
+    tkh, to = p.shape
+    sexp_lo = _expand_scales(slo_ref[:].astype(jnp.float32), tkh, to)
+    sexp_hi = _expand_scales(shi_ref[:].astype(jnp.float32), tkh, to)
+    wlo = (lo.astype(jnp.float32) * sexp_lo).astype(jnp.bfloat16)
+    whi = (hi.astype(jnp.float32) * sexp_hi).astype(jnp.bfloat16)
+    acc = jnp.dot(xlo.astype(jnp.bfloat16), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xhi.astype(jnp.bfloat16), whi,
+                   preferred_element_type=jnp.float32)
+    o_ref[:] += acc
+
+
+def pack_ps(packed: np.ndarray) -> np.ndarray:
+    """Interleaved K-major [K/2, O] (byte c = elements 2c|2c+1) →
+    plane-split (byte c = elements c | c+K/2)."""
+    hk, O = packed.shape
+    K = 2 * hk
+    lo_el = np.zeros((K, O), np.uint8)
+    lo_el[0::2] = packed & 0x0F
+    lo_el[1::2] = packed >> 4
+    return (lo_el[:hk] | (lo_el[hk:] << 4)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "block_kh",
+                                             "interpret"))
+def ps_matmul(x, packed_ps, scales, *, block_o, block_kh, interpret=False):
+    """x is the RAW [N, K] activation (N may be 1 — no host padding)."""
+    N, K = x.shape
+    half_k = K // 2
+    O = packed_ps.shape[1]
+    # plane-split: 32 consecutive packed rows share one block per plane
+    # (vs 16 in the interleaved layout) — _expand_scales broadcasts 32x
+    nb_per_tile = block_kh // QK
+    grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
+    nb2 = half_k // QK  # hi plane's first scale row: block (K/2)/32
+    return pl.pallas_call(
+        functools.partial(_k_ps, block_kh=block_kh, half_k=half_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, K), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),  # whole-x resident
+            pl.BlockSpec((block_kh, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_per_tile, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_per_tile, block_o),
+                         lambda i, k, nb2=nb2: (nb2 // nb_per_tile + k, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, block_o), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, packed_ps, scales, scales)
+
+
+def check_numerics_ps(block_o=512, block_kh=128, N=8, interpret=False):
+    from vsim_tpu.quant.q4 import dequantize_km
+
+    rng = np.random.default_rng(1)
+    O = K = 1024
+    w = jax.device_put(Q4Tensor.from_dense_np(
+        rng.standard_normal((O, K)).astype(np.float32)))
+    pps = jnp.asarray(pack_ps(np.asarray(w.packed)))
+    x = jnp.asarray(rng.standard_normal((N, K)), jnp.bfloat16)
+    ref = (x.astype(jnp.float32) @ dequantize_km(w, jnp.float32))
+    got = ps_matmul(x, pps, w.scales, block_o=min(block_o, O),
+                    block_kh=min(block_kh, K // 2), interpret=interpret)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    return float(jnp.max(jnp.abs(got - ref))) / scale
+
+
 KERNELS = {"dma": _k_dma, "i32": _k_i32, "u16": _k_u16, "f32x": _k_f32x,
            "f32f": _k_f32f, "i32f": _k_i32f, "f32xf": _k_f32xf}
 
@@ -410,11 +505,13 @@ def variant_matmul(xe, xo, packed, scales, *, variant, block_o, block_kh):
     )(xe, xo, packed, scales)
 
 
-def bench(O, K, batch, fn, iters=24, reps_in_step=8, w_transform=None):
+def bench(O, K, batch, fn, iters=24, reps_in_step=8, w_transform=None,
+          single_x=False):
     """reps_in_step chained kernel invocations per jit dispatch amortize the
     per-dispatch launch overhead (~0.2 ms) below the kernel time.
     ``w_transform(packed_np) -> array`` substitutes a repacked weight
-    (e.g. pack_w32) for the kernels that want a different layout."""
+    (e.g. pack_w32/pack_ps); ``single_x`` feeds the raw [N, K] x instead of
+    pre-split planes (the ps glue-free contract)."""
     rng = np.random.default_rng(0)
     w = Q4Tensor.from_dense_np(
         rng.standard_normal((O, K)).astype(np.float32))
@@ -425,13 +522,22 @@ def bench(O, K, batch, fn, iters=24, reps_in_step=8, w_transform=None):
     x0 = jnp.asarray(rng.standard_normal((batch, K)), jnp.bfloat16)
     xe0, xo0 = x0[:, 0::2], x0[:, 1::2]
 
-    @jax.jit
-    def step(xe, xo):
-        for _ in range(reps_in_step):
-            y = fn(xe, xo, wp, w.scales)
-            d = (y[:, :1] * 1e-9).astype(jnp.bfloat16)
-            xe, xo = xe0 + d, xo0 + d
-        return xe, xo
+    if single_x:
+        @jax.jit
+        def step(xe, xo):
+            x = x0 + xe[:, :1]  # consume the chain input
+            for _ in range(reps_in_step):
+                y = fn(x, wp, w.scales)
+                x = x0 + (y[:, :1] * 1e-9).astype(jnp.bfloat16)
+            return x[:, 0::2], x[:, 1::2]
+    else:
+        @jax.jit
+        def step(xe, xo):
+            for _ in range(reps_in_step):
+                y = fn(xe, xo, wp, w.scales)
+                d = (y[:, :1] * 1e-9).astype(jnp.bfloat16)
+                xe, xo = xe0 + d, xo0 + d
+            return xe, xo
 
     xe, xo = step(xe0, xo0)
     float(xe.sum())
@@ -516,6 +622,23 @@ def main():
                           f"{gbs:7.1f} GB/s  relerr={err}", flush=True)
                 except Exception as e:
                     print(f"w32  bo={bo2:5d} khw={bkhw2:4d}  FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        if v == "ps":
+            for (bo, bkh) in ([(2048, 512), (2048, 1024), (1024, 512),
+                               (2048, 256)]
+                              if args.sweep_blocks else [(2048, 512)]):
+                bo2, bkh2 = min(bo, O), min(bkh, K // 2)
+                try:
+                    fn = functools.partial(ps_matmul, block_o=bo2,
+                                           block_kh=bkh2)
+                    ms, gbs = bench(O, K, args.batch, fn,
+                                    w_transform=pack_ps, single_x=True)
+                    err = f"{check_numerics_ps(bo2, bkh2, N=args.batch):.2e}"
+                    print(f"ps   bo={bo2:5d} bkh={bkh2:4d}  {ms:7.3f} ms "
+                          f"{gbs:7.1f} GB/s  relerr={err}", flush=True)
+                except Exception as e:
+                    print(f"ps   bo={bo2:5d} bkh={bkh2:4d}  FAILED "
                           f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
         if v == "res":

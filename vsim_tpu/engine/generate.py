@@ -59,6 +59,7 @@ class InferenceEngine:
         donate_cache: bool = True,
         decode_chunk: int = 16,
         unroll_layers: Optional[bool] = None,
+        plane_split: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -97,6 +98,27 @@ class InferenceEngine:
 
             self.params = unstack_layer_params(self.params)
         self.unrolled = unroll_layers
+
+        # Plane-split repack (quant/q4.py:to_plane_split): the two nibble
+        # planes of every per-layer weight become contiguous halves of x,
+        # so each decode matmul runs the glue-free kernel — no pad-concat,
+        # no strided deinterleave, no output slice (~50 us of host graph per
+        # call, the measured B=1 wall; ops/pallas_q4.py:_kernel_ps).
+        if plane_split is None:
+            plane_split = bool(unroll_layers)
+        if plane_split:
+            from vsim_tpu.quant.q4 import to_plane_split
+
+            layers = dict(self.params["layers"])
+            for k in list(layers):
+                v = layers[k]
+                if isinstance(v, tuple) and v and isinstance(v[0], _Q4):
+                    layers[k] = tuple(to_plane_split(t) for t in v)
+            p = dict(self.params, layers=layers)
+            if isinstance(p.get("lm_head"), _Q4):
+                p["lm_head"] = to_plane_split(p["lm_head"])
+            self.params = p
+        self.plane_split = plane_split
 
         donate = (2,) if donate_cache else ()
 

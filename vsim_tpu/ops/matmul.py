@@ -125,6 +125,10 @@ def q4_matmul(
     if impl == "auto":
         impl = "pallas" if _use_pallas(x, w) else "xla"
     if impl == "pallas":
+        if w.layout == "ps":  # glue-free decode path (plane-split layout)
+            from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul_ps
+
+            return pallas_q4_matmul_ps(x, w)
         from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul
 
         return pallas_q4_matmul(x, w)

@@ -173,6 +173,140 @@ def _pallas_q4_matmul_2d(
     return out
 
 
+def _dequant_planes_ps(p_ref, slo_ref, shi_ref, acc_dtype, math):
+    """Plane-split dequant: 32 consecutive packed rows share one block per
+    plane; lo and hi planes carry DIFFERENT scale rows (c//32 vs
+    K/64 + c//32), delivered as two scale inputs."""
+    p = p_ref[:].astype(jnp.int32)
+    tkh, to = p.shape
+
+    def expand(s_ref):
+        s = s_ref[:].astype(jnp.float32)
+        nb = s.shape[0]
+        return jnp.broadcast_to(
+            s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
+
+    sexp_lo, sexp_hi = expand(slo_ref), expand(shi_ref)
+    math = math or _DEQUANT_MATH
+    if math == "i32":
+        lo = (p & 0x0F) - 8
+        hi = (p >> 4) - 8
+        return ((lo.astype(jnp.float32) * sexp_lo).astype(acc_dtype),
+                (hi.astype(jnp.float32) * sexp_hi).astype(acc_dtype))
+    magic = jnp.int32(0x4B000000)
+    off = jnp.float32(8388608.0 + 8.0)
+    lo = jax.lax.bitcast_convert_type((p & 0x0F) | magic, jnp.float32)
+    hi = jax.lax.bitcast_convert_type((p >> 4) | magic, jnp.float32)
+    out_dt = jnp.float32 if math == "f32xf" else acc_dtype
+    return (((lo - off) * sexp_lo).astype(out_dt),
+            ((hi - off) * sexp_hi).astype(out_dt))
+
+
+def _kernel_ps(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, acc_dtype, math,
+               block_kh, half_k):
+    """Glue-free plane-split kernel: x arrives RAW [N, K] (whole-K resident
+    block — N may be 1, no host pad) and the two activation planes are
+    contiguous lane ranges sliced in-kernel.  Motivation (2026-08-21 phase
+    table): the production interleaved path spent ~50 us/call on host glue
+    (pad-concat to 8 rows + 2 strided deinterleave slices + output slice) —
+    113 calls/step made glue, not the kernel, the GPT-J B=1 decode wall."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    xlo = x_ref[:, pl.ds(k_step * block_kh, block_kh)]
+    xhi = x_ref[:, pl.ds(half_k + k_step * block_kh, block_kh)]
+    wlo, whi = _dequant_planes_ps(p_ref, slo_ref, shi_ref, acc_dtype, math)
+    acc = jnp.dot(xlo.astype(wlo.dtype), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xhi.astype(whi.dtype), whi,
+                   preferred_element_type=jnp.float32)
+    o_ref[:] += acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret", "math"),
+)
+def _pallas_q4_matmul_ps_2d(
+    x: jnp.ndarray,  # [N, K] raw activations
+    packed: jnp.ndarray,  # [K/2, O] uint8, plane-split
+    scales: jnp.ndarray,  # [K/32, O]
+    *,
+    block_o: int,
+    block_kh: int,
+    acc_dtype,
+    interpret: bool,
+    math: str = "i32",
+) -> jnp.ndarray:
+    N, K = x.shape
+    half_k = K // 2
+    O = packed.shape[1]
+    # plane-split: 32 consecutive packed rows share one block per plane
+    nb_per_tile = block_kh // QK
+    grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
+    nb2 = half_k // QK  # hi plane's first scale row (block K/64)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_ps, acc_dtype=acc_dtype, math=math,
+                          block_kh=block_kh, half_k=half_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, K), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_kh, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_per_tile, block_o), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb_per_tile, block_o),
+                         lambda i, k: (nb2 // nb_per_tile + k, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, block_o), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * O,
+            bytes_accessed=packed.size + scales.size * scales.dtype.itemsize
+            + x.size * x.dtype.itemsize + N * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, packed, scales, scales)
+
+
+def pallas_q4_matmul_ps(
+    x: jnp.ndarray,
+    w: Q4Tensor,  # layout == "ps"
+    *,
+    acc_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``x [..., K] @ w.T → [..., O]`` for plane-split weights: no host-side
+    pad/deinterleave/output-slice glue at all."""
+    assert w.layout == "ps", w.layout
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    O = w.out_features
+    n = 1
+    for d in lead:
+        n *= d
+    block_o, block_kh = _pick_blocks(K // 2, O, max(n, 8))
+    if block_kh % QK:  # ps scale rows need 32-row groups
+        block_kh = max(QK, block_kh - block_kh % QK)
+    y = _pallas_q4_matmul_ps_2d(
+        x.reshape(n, K), w.packed, w.scales,
+        block_o=block_o, block_kh=block_kh,
+        acc_dtype=acc_dtype, interpret=interpret, math=_DEQUANT_MATH,
+    )
+    return y.reshape(*lead, O)
+
+
 def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
     """VMEM-budget tile sizes.  Tile AREA stays at 1M elements (half that for
     n > 64): the dequant temporaries (i32 widened bytes + f32/bf16 planes)

@@ -76,13 +76,20 @@ class Q4Tensor:
 
     packed: jnp.ndarray  # uint8 [..., K//2, O]
     scales: jnp.ndarray  # float16/float32 [..., K//QK, O]
+    # nibble layout of a packed byte c:
+    #   "i"  (interleaved, the ggml-native order): elements 2c | 2c+1
+    #   "ps" (plane-split, decode fast path): elements c | c + K/2 — the two
+    #        activation planes become CONTIGUOUS halves of x, so the Pallas
+    #        kernel takes raw [N, K] x with no host-side deinterleave/pad
+    #        glue (to_plane_split; ops/pallas_q4.py _kernel_ps)
+    layout: str = "i"
 
     def tree_flatten(self):
-        return (self.packed, self.scales), None
+        return (self.packed, self.scales), self.layout
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, layout=aux or "i")
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -145,6 +152,7 @@ class Q4Tensor:
         return Q4Tensor(
             packed=jnp.pad(self.packed, widths),
             scales=jnp.pad(self.scales, widths),
+            layout=self.layout,
         )
 
     @classmethod
@@ -231,6 +239,22 @@ def quantize_q4_0(w: jnp.ndarray, scale_dtype=DEFAULT_SCALE_DTYPE) -> Q4Tensor:
     return Q4Tensor(packed=packed.T, scales=d.astype(scale_dtype).T)
 
 
+def to_plane_split(w: Q4Tensor) -> Q4Tensor:
+    """Repack an interleaved Q4Tensor to the plane-split layout (device-side
+    bit ops; scales unchanged — the block of plane-split row c is c//32 for
+    the lo nibble and K/64 + c//32 for the hi nibble)."""
+    if w.layout == "ps":
+        return w
+    packed = w.packed
+    lead = packed.shape[:-2]
+    half_k, O = packed.shape[-2:]
+    lo = packed & 0x0F
+    hi = packed >> 4
+    el = jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * half_k, O)
+    new = el[..., :half_k, :] | (el[..., half_k:, :] << 4)
+    return Q4Tensor(packed=new, scales=w.scales, layout="ps")
+
+
 def dequantize_km(w: Q4Tensor, dtype=jnp.float32) -> jnp.ndarray:
     """XLA dequantize, K-major result: [..., K, O] (matmul-ready)."""
     packed, scales = w.packed, w.scales
@@ -238,7 +262,10 @@ def dequantize_km(w: Q4Tensor, dtype=jnp.float32) -> jnp.ndarray:
     half_k, O = packed.shape[-2:]
     lo = (packed & 0x0F).astype(jnp.int8) - 8
     hi = (packed >> 4).astype(jnp.int8) - 8
-    q = jnp.stack([lo, hi], axis=-2).reshape(*lead, half_k * 2, O)
+    if w.layout == "ps":  # byte c = elements c | c + K/2
+        q = jnp.concatenate([lo, hi], axis=-2)
+    else:  # byte c = elements 2c | 2c+1
+        q = jnp.stack([lo, hi], axis=-2).reshape(*lead, half_k * 2, O)
     s = jnp.repeat(scales.astype(dtype), QK, axis=-2)
     return q.astype(dtype) * s
 
