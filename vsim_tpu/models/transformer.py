@@ -168,10 +168,11 @@ def _linear(x, w, b, compute_dtype, act_quant=False):
         from vsim_tpu.ops.matmul import q4_matmul_act_quant
 
         y = q4_matmul_act_quant(x, w, compute_dtype=compute_dtype)
-    else:
-        y = q4_matmul(x, w, compute_dtype=compute_dtype)  # f32 accumulation
-    if b is not None:
-        y = y + b.astype(y.dtype)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y.astype(compute_dtype)
+    # f32 accumulation; bias folded into the Pallas kernel where supported
+    y = q4_matmul(x, w, bias=b, compute_dtype=compute_dtype)
     return y.astype(compute_dtype)
 
 
@@ -325,7 +326,33 @@ def attention(
     return out, k_all, v_all
 
 
+_FUSED_ACTS = {"gelu_tanh": "gelu_tanh", "gelu_new": "gelu_tanh",
+               "gelu_fast": "gelu_tanh", "gelu_exact": "gelu_exact",
+               "gelu": "gelu_exact", "relu": "relu"}
+
+
 def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
+    w_fc, w_proj = lp["w_fc"], lp["w_proj"]
+    # fused fc+act+proj kernel on the plane-split decode path: one kernel
+    # entry instead of two, no [*, F] intermediate round-trip, biases folded
+    # (ops/pallas_q4.py:_kernel_mlp_ps)
+    if (not cfg.act_quant
+            and isinstance(w_fc, Q4Tensor) and w_fc.layout == "ps"
+            and isinstance(w_proj, Q4Tensor) and w_proj.layout == "ps"
+            and cfg.activation in _FUSED_ACTS
+            and jax.default_backend() == "tpu"):
+        n = 1
+        for d in h.shape[:-1]:
+            n *= d
+        E, F = h.shape[-1], w_fc.out_features
+        if n <= 8 and (F // 2) % 256 == 0 and (E // 2) % 256 == 0:
+            from vsim_tpu.ops.pallas_q4 import pallas_q4_mlp_ps
+
+            y = pallas_q4_mlp_ps(
+                h, w_fc, lp.get("b_fc"), w_proj, lp.get("b_proj"),
+                act=_FUSED_ACTS[cfg.activation],
+            ).astype(h.dtype)
+            return constrain(y, "batch", "seq", "embed")
     act = get_activation(cfg.activation)
     y = _linear(h, lp["w_fc"], lp.get("b_fc"), h.dtype, cfg.act_quant)
     y = constrain(y, "batch", None, "ffn")
@@ -431,11 +458,10 @@ def forward(
                 slopes, kv_len, fresh_kv,
             )
         x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
-        logits = q4_matmul(x, params["lm_head"], compute_dtype=cdt)
+        logits = q4_matmul(x, params["lm_head"], bias=params.get("lm_head_b"),
+                           compute_dtype=cdt)
         if logits.shape[-1] != cfg.n_vocab:
             logits = logits[..., : cfg.n_vocab]
-        if "lm_head_b" in params:
-            logits = logits + params["lm_head_b"].astype(logits.dtype)
         logits = constrain(logits, "batch", None, "vocab")
         new_cache = None if cache is None else {"k": k_all, "v": v_all}
         return logits.astype(jnp.float32), new_cache
@@ -493,11 +519,10 @@ def forward(
         k_new = v_new = None
 
     x = layer_norm(x, params["ln_f_w"], params["ln_f_b"], cfg.ln_eps)
-    logits = q4_matmul(x, params["lm_head"], compute_dtype=cdt)
+    logits = q4_matmul(x, params["lm_head"], bias=params.get("lm_head_b"),
+                       compute_dtype=cdt)
     if logits.shape[-1] != cfg.n_vocab:  # lm_head padded for kernel alignment
         logits = logits[..., : cfg.n_vocab]
-    if "lm_head_b" in params:
-        logits = logits + params["lm_head_b"].astype(logits.dtype)
     logits = constrain(logits, "batch", None, "vocab")
     new_cache = None if cache is None else {"k": k_new, "v": v_new}
     return logits.astype(jnp.float32), new_cache

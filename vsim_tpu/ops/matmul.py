@@ -89,22 +89,33 @@ def q4_matmul(
     x: jnp.ndarray,
     w: Weight,
     *,
+    bias: Optional[jnp.ndarray] = None,
     impl: Optional[str] = None,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """``x [..., K] @ w.T`` with ``w`` a Q4Tensor [O, K], a Q4Layer (one layer
-    of a stacked Q4 weight), or dense [O, K].
+    """``x [..., K] @ w.T (+ bias)`` with ``w`` a Q4Tensor [O, K], a Q4Layer
+    (one layer of a stacked Q4 weight), or dense [O, K].
 
     Dense weights take the plain XLA GEMM (used by the fp16/bf16 model variant
-    and by training); quantized weights dispatch per ``impl``.
+    and by training); quantized weights dispatch per ``impl``.  ``bias`` is
+    folded into the plane-split Pallas kernel's output init (one less XLA op
+    on the decode path) and added as a plain op on every other path.
     """
+    def _with_bias(y):
+        if bias is None:
+            return y
+        b = bias
+        if b.shape[-1] != y.shape[-1]:  # kernel-padded lm_head
+            b = jnp.pad(b, (0, y.shape[-1] - b.shape[-1]))
+        return y + b.astype(y.dtype)
+
     if isinstance(w, Q4Layer):
         one = Q4Tensor(packed=w.stacked.packed[0], scales=w.stacked.scales[0])
         impl_r = impl or _DEFAULT_IMPL
         if impl_r in ("auto", "pallas") and _use_pallas(x, one):
             from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul_stacked
 
-            return pallas_q4_matmul_stacked(x, w.stacked, w.il)
+            return _with_bias(pallas_q4_matmul_stacked(x, w.stacked, w.il))
         # fallback: slice the layer out (CPU tests / misaligned shapes)
         sliced = Q4Tensor(
             packed=jax.lax.dynamic_index_in_dim(
@@ -112,14 +123,15 @@ def q4_matmul(
             scales=jax.lax.dynamic_index_in_dim(
                 w.stacked.scales, w.il, 0, keepdims=False),
         )
-        return q4_matmul(x, sliced, impl="xla", compute_dtype=compute_dtype)
+        return q4_matmul(x, sliced, bias=bias, impl="xla",
+                         compute_dtype=compute_dtype)
     if not isinstance(w, Q4Tensor):
-        return jnp.einsum(
+        return _with_bias(jnp.einsum(
             "...k,ok->...o",
             x.astype(compute_dtype),
             w.astype(compute_dtype),
             preferred_element_type=jnp.float32,
-        )
+        ))
 
     impl = impl or _DEFAULT_IMPL
     if impl == "auto":
@@ -128,11 +140,11 @@ def q4_matmul(
         if w.layout == "ps":  # glue-free decode path (plane-split layout)
             from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul_ps
 
-            return pallas_q4_matmul_ps(x, w)
+            return pallas_q4_matmul_ps(x, w, bias=bias)
         from vsim_tpu.ops.pallas_q4 import pallas_q4_matmul
 
-        return pallas_q4_matmul(x, w)
-    return _xla_q4_matmul(x, w, compute_dtype)
+        return _with_bias(pallas_q4_matmul(x, w))
+    return _with_bias(_xla_q4_matmul(x, w, compute_dtype))
 
 
 def q4_matmul_act_quant(

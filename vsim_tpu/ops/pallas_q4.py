@@ -202,6 +202,27 @@ def _dequant_planes_ps(p_ref, slo_ref, shi_ref, acc_dtype, math):
             ((hi - off) * sexp_hi).astype(out_dt))
 
 
+def _kernel_ps_bias(x_ref, p_ref, slo_ref, shi_ref, b_ref, o_ref, *,
+                    acc_dtype, math, block_kh, half_k):
+    """_kernel_ps with the bias folded in: the k==0 output init IS the bias
+    row (broadcast over N) — saves the separate XLA bias-add op per call."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.broadcast_to(
+            b_ref[:].astype(jnp.float32), o_ref.shape)
+
+    xlo = x_ref[:, pl.ds(k_step * block_kh, block_kh)]
+    xhi = x_ref[:, pl.ds(half_k + k_step * block_kh, block_kh)]
+    wlo, whi = _dequant_planes_ps(p_ref, slo_ref, shi_ref, acc_dtype, math)
+    acc = jnp.dot(xlo.astype(wlo.dtype), wlo,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xhi.astype(whi.dtype), whi,
+                   preferred_element_type=jnp.float32)
+    o_ref[:] += acc.astype(o_ref.dtype)
+
+
 def _kernel_ps(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, acc_dtype, math,
                block_kh, half_k):
     """Glue-free plane-split kernel: x arrives RAW [N, K] (whole-K resident
@@ -228,18 +249,21 @@ def _kernel_ps(x_ref, p_ref, slo_ref, shi_ref, o_ref, *, acc_dtype, math,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret", "math"),
+    static_argnames=("block_o", "block_kh", "acc_dtype", "interpret", "math",
+                     "has_bias"),
 )
 def _pallas_q4_matmul_ps_2d(
     x: jnp.ndarray,  # [N, K] raw activations
     packed: jnp.ndarray,  # [K/2, O] uint8, plane-split
     scales: jnp.ndarray,  # [K/32, O]
+    bias,  # [1, O] f32 or None
     *,
     block_o: int,
     block_kh: int,
     acc_dtype,
     interpret: bool,
     math: str = "i32",
+    has_bias: bool = False,
 ) -> jnp.ndarray:
     N, K = x.shape
     half_k = K // 2
@@ -249,21 +273,32 @@ def _pallas_q4_matmul_ps_2d(
     grid = (pl.cdiv(O, block_o), pl.cdiv(half_k, block_kh))
     nb2 = half_k // QK  # hi plane's first scale row (block K/64)
 
+    in_specs = [
+        pl.BlockSpec((N, K), lambda i, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_kh, block_o), lambda i, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb_per_tile, block_o), lambda i, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb_per_tile, block_o),
+                     lambda i, k: (nb2 // nb_per_tile + k, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, packed, scales, scales]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, block_o), lambda i, k: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias)
+        kern = functools.partial(_kernel_ps_bias, acc_dtype=acc_dtype,
+                                 math=math, block_kh=block_kh, half_k=half_k)
+    else:
+        kern = functools.partial(_kernel_ps, acc_dtype=acc_dtype, math=math,
+                                 block_kh=block_kh, half_k=half_k)
+
     return pl.pallas_call(
-        functools.partial(_kernel_ps, acc_dtype=acc_dtype, math=math,
-                          block_kh=block_kh, half_k=half_k),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((N, K), lambda i, k: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_kh, block_o), lambda i, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb_per_tile, block_o), lambda i, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb_per_tile, block_o),
-                         lambda i, k: (nb2 // nb_per_tile + k, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((N, block_o), lambda i, k: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
@@ -277,18 +312,19 @@ def _pallas_q4_matmul_ps_2d(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, packed, scales, scales)
+    )(*operands)
 
 
 def pallas_q4_matmul_ps(
     x: jnp.ndarray,
     w: Q4Tensor,  # layout == "ps"
     *,
+    bias=None,  # optional [O] — folded into the kernel's output init
     acc_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """``x [..., K] @ w.T → [..., O]`` for plane-split weights: no host-side
-    pad/deinterleave/output-slice glue at all."""
+    """``x [..., K] @ w.T (+ bias) → [..., O]`` for plane-split weights: no
+    host-side pad/deinterleave/output-slice glue at all."""
     assert w.layout == "ps", w.layout
     lead = x.shape[:-1]
     K = x.shape[-1]
@@ -299,12 +335,200 @@ def pallas_q4_matmul_ps(
     block_o, block_kh = _pick_blocks(K // 2, O, max(n, 8))
     if block_kh % QK:  # ps scale rows need 32-row groups
         block_kh = max(QK, block_kh - block_kh % QK)
+    if bias is not None and bias.shape[-1] != O:  # padded lm_head
+        bias = jnp.pad(bias, (0, O - bias.shape[-1]))
     y = _pallas_q4_matmul_ps_2d(
         x.reshape(n, K), w.packed, w.scales,
+        None if bias is None else bias.astype(jnp.float32).reshape(1, O),
         block_o=block_o, block_kh=block_kh,
         acc_dtype=acc_dtype, interpret=interpret, math=_DEQUANT_MATH,
+        has_bias=bias is not None,
     )
     return y.reshape(*lead, O)
+
+
+def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
+                   pp_ref, sp_lo_ref, sp_hi_ref, bfc_lo_ref, bfc_hi_ref,
+                   bp_ref, o_ref, *, math, act, block_fh, chunk, E, F):
+    """Fused MLP: ``o = act(x @ Wfc^T + bfc) @ Wproj^T + bproj`` in ONE
+    kernel — the [N, F] intermediate never leaves VMEM and the per-layer
+    matmul count on the decode path drops from 2 to 1 (kernel entry +
+    inter-kernel XLA glue was the measured B=1 wall).
+
+    Both weights are plane-split.  Grid step t covers the PAIRED F ranges
+    [t*BFh, (t+1)*BFh) and [F/2 + t*BFh, ...): exactly the lo/hi nibble
+    planes of Wproj's packed rows [t*BFh, (t+1)*BFh), so the two fc column
+    tiles computed this step are the two h planes the proj tile consumes.
+    The fc contraction (full E) runs in CH-row chunks to bound dequant
+    temporaries; the output block (constant index map) accumulates across
+    steps, initialized with bproj at t=0."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        o_ref[:] = jnp.broadcast_to(
+            bp_ref[:].astype(jnp.float32), o_ref.shape)
+
+    N = x_ref.shape[0]
+    half_e = E // 2
+
+    def fc_half(p_ref, s_ref):
+        """x @ deq(fc tile) for one F-range column tile (full-E rows,
+        CH-chunked; s_ref carries ALL E/32 scale rows of the tile)."""
+        acc = jnp.zeros((N, block_fh), jnp.float32)
+        for c in range(half_e // chunk):
+            pch = p_ref[pl.ds(c * chunk, chunk), :].astype(jnp.int32)
+            nbc = chunk // QK
+            slo = s_ref[pl.ds(c * nbc, nbc), :].astype(jnp.float32)
+            shi = s_ref[pl.ds(half_e // QK + c * nbc, nbc), :].astype(
+                jnp.float32)
+            sexp_lo = jnp.broadcast_to(
+                slo[:, None, :], (nbc, QK, block_fh)).reshape(chunk, block_fh)
+            sexp_hi = jnp.broadcast_to(
+                shi[:, None, :], (nbc, QK, block_fh)).reshape(chunk, block_fh)
+            wlo = ((pch & 0x0F) - 8).astype(jnp.float32) * sexp_lo
+            whi = ((pch >> 4) - 8).astype(jnp.float32) * sexp_hi
+            xlo = x_ref[:, pl.ds(c * chunk, chunk)].astype(jnp.float32)
+            xhi = x_ref[:, pl.ds(half_e + c * chunk, chunk)].astype(
+                jnp.float32)
+            acc += jnp.dot(xlo, wlo, preferred_element_type=jnp.float32)
+            acc += jnp.dot(xhi, whi, preferred_element_type=jnp.float32)
+        return acc
+
+    h_lo = fc_half(pfc_lo_ref, sfc_lo_ref)
+    h_hi = fc_half(pfc_hi_ref, sfc_hi_ref)
+    h_lo += bfc_lo_ref[:].astype(jnp.float32)
+    h_hi += bfc_hi_ref[:].astype(jnp.float32)
+    if act == "gelu_tanh":
+        h_lo, h_hi = jax.nn.gelu(h_lo, approximate=True), \
+            jax.nn.gelu(h_hi, approximate=True)
+    elif act == "gelu_exact":
+        h_lo, h_hi = jax.nn.gelu(h_lo, approximate=False), \
+            jax.nn.gelu(h_hi, approximate=False)
+    elif act == "relu":
+        h_lo, h_hi = jnp.maximum(h_lo, 0), jnp.maximum(h_hi, 0)
+    else:
+        raise NotImplementedError(act)
+
+    # proj tile: packed rows [t*BFh, (t+1)*BFh) — lo nibbles multiply h_lo,
+    # hi nibbles h_hi; both dequant chunked over rows
+    acc_o = jnp.zeros(o_ref.shape, jnp.float32)
+    for c in range(block_fh // chunk):
+        pch = pp_ref[pl.ds(c * chunk, chunk), :].astype(jnp.int32)
+        nbc = chunk // QK
+        slo = sp_lo_ref[pl.ds(c * nbc, nbc), :].astype(jnp.float32)
+        shi = sp_hi_ref[pl.ds(c * nbc, nbc), :].astype(jnp.float32)
+        to = pch.shape[1]
+        sexp_lo = jnp.broadcast_to(
+            slo[:, None, :], (nbc, QK, to)).reshape(chunk, to)
+        sexp_hi = jnp.broadcast_to(
+            shi[:, None, :], (nbc, QK, to)).reshape(chunk, to)
+        wlo = ((pch & 0x0F) - 8).astype(jnp.float32) * sexp_lo
+        whi = ((pch >> 4) - 8).astype(jnp.float32) * sexp_hi
+        acc_o += jnp.dot(h_lo[:, c * chunk:(c + 1) * chunk], wlo,
+                         preferred_element_type=jnp.float32)
+        acc_o += jnp.dot(h_hi[:, c * chunk:(c + 1) * chunk], whi,
+                         preferred_element_type=jnp.float32)
+    o_ref[:] += acc_o
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_fh", "chunk", "act", "interpret", "math"),
+)
+def _pallas_q4_mlp_ps_2d(
+    x, pfc, sfc, pproj, sproj, bfc, bproj, *,
+    block_fh: int, chunk: int, act: str, interpret: bool, math: str = "i32",
+):
+    N, E = x.shape
+    F = pfc.shape[1]
+    half_f = F // 2
+    grid = (half_f // block_fh,)
+    nbp = block_fh // QK  # proj scale rows per tile (per plane)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_mlp_ps, math=math, act=act,
+                          block_fh=block_fh, chunk=chunk, E=E, F=F),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((N, E), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),  # x resident
+            # fc packed: lo/hi column tiles (full E rows)
+            pl.BlockSpec((E // 2, block_fh), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // 2, block_fh),
+                         lambda t: (0, half_f // block_fh + t),
+                         memory_space=pltpu.VMEM),
+            # fc scales: lo/hi column tiles (full rows)
+            pl.BlockSpec((E // QK, block_fh), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E // QK, block_fh),
+                         lambda t: (0, half_f // block_fh + t),
+                         memory_space=pltpu.VMEM),
+            # proj packed rows [t*BFh, (t+1)*BFh)
+            pl.BlockSpec((block_fh, E), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            # proj scales: lo rows t*nbp.., hi rows F/64 + t*nbp..
+            pl.BlockSpec((nbp, E), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbp, E),
+                         lambda t: (half_f // QK // nbp + t, 0),
+                         memory_space=pltpu.VMEM),
+            # biases: fc lo/hi column tiles + whole proj bias
+            pl.BlockSpec((1, block_fh), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_fh),
+                         lambda t: (0, half_f // block_fh + t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, E), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, E), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x, pfc, pfc, sfc, sfc, pproj, sproj, sproj, bfc, bfc, bproj)
+
+
+def pallas_q4_mlp_ps(
+    x: jnp.ndarray,  # [..., E]
+    w_fc: Q4Tensor,  # ps, [F, E] logical
+    b_fc,  # [F] or None
+    w_proj: Q4Tensor,  # ps, [E, F] logical
+    b_proj,  # [E] or None
+    *,
+    act: str = "gelu_tanh",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused ``act(x @ w_fc.T + b_fc) @ w_proj.T + b_proj`` (decode shapes,
+    N ≤ 8).  Arrays whose lo/hi tiles differ (fc packed/scales/bias, proj
+    scales) are passed twice with different BlockSpec index maps."""
+    assert w_fc.layout == "ps" and w_proj.layout == "ps"
+    lead = x.shape[:-1]
+    E = x.shape[-1]
+    F = w_fc.out_features
+    n = 1
+    for d in lead:
+        n *= d
+    assert n <= 8, n
+    block_fh = 512 if (F // 2) % 512 == 0 else 256
+    # chunk 256: the per-chunk dequant temporaries (i32 widened + f32
+    # planes) are the scoped-VMEM budget driver — chunk 512 measured 16.9 MB
+    # against the 16 MB limit on GPT-J shapes
+    chunk = 256 if (E // 2) % 256 == 0 else 128
+    zf = jnp.zeros((F,), jnp.float32) if b_fc is None else b_fc
+    zp = jnp.zeros((E,), jnp.float32) if b_proj is None else b_proj
+    y = _pallas_q4_mlp_ps_2d(
+        x.reshape(n, E), w_fc.packed, w_fc.scales, w_proj.packed,
+        w_proj.scales, zf.astype(jnp.float32).reshape(1, F),
+        zp.astype(jnp.float32).reshape(1, E),
+        block_fh=block_fh, chunk=chunk, act=act, interpret=interpret,
+        math=_DEQUANT_MATH,
+    )
+    return y.reshape(*lead, E)
 
 
 def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
