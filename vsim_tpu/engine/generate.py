@@ -109,13 +109,21 @@ class InferenceEngine:
         if plane_split:
             from vsim_tpu.quant.q4 import to_plane_split
 
+            def _eligible(t):
+                # K % 512 == 0 guarantees a block_kh >= 256, i.e. >= 8 scale
+                # rows per plane per tile — Mosaic rejects sub-8-row sublane
+                # offsets (seen on gpt2's K=768: "cannot statically prove
+                # index in dimension 0 is a multiple of 8")
+                return t.in_features % 512 == 0
+
             layers = dict(self.params["layers"])
             for k in list(layers):
                 v = layers[k]
-                if isinstance(v, tuple) and v and isinstance(v[0], _Q4):
+                if (isinstance(v, tuple) and v and isinstance(v[0], _Q4)
+                        and _eligible(v[0])):
                     layers[k] = tuple(to_plane_split(t) for t in v)
             p = dict(self.params, layers=layers)
-            if isinstance(p.get("lm_head"), _Q4):
+            if isinstance(p.get("lm_head"), _Q4) and _eligible(p["lm_head"]):
                 p["lm_head"] = to_plane_split(p["lm_head"])
             self.params = p
         self.plane_split = plane_split
