@@ -379,6 +379,8 @@ def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
         """x @ deq(fc tile) for one F-range column tile (full-E rows,
         CH-chunked; s_ref carries ALL E/32 scale rows of the tile)."""
         acc = jnp.zeros((N, block_fh), jnp.float32)
+        magic = jnp.int32(0x4B000000)
+        off = jnp.float32(8388608.0 + 8.0)
         for c in range(half_e // chunk):
             pch = p_ref[pl.ds(c * chunk, chunk), :].astype(jnp.int32)
             nbc = chunk // QK
@@ -389,8 +391,13 @@ def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
                 slo[:, None, :], (nbc, QK, block_fh)).reshape(chunk, block_fh)
             sexp_hi = jnp.broadcast_to(
                 shi[:, None, :], (nbc, QK, block_fh)).reshape(chunk, block_fh)
-            wlo = ((pch & 0x0F) - 8).astype(jnp.float32) * sexp_lo
-            whi = ((pch >> 4) - 8).astype(jnp.float32) * sexp_hi
+            # f32xf math (mantissa-OR, bias subtracted BEFORE the scale)
+            flo = jax.lax.bitcast_convert_type(
+                (pch & 0x0F) | magic, jnp.float32)
+            fhi = jax.lax.bitcast_convert_type(
+                (pch >> 4) | magic, jnp.float32)
+            wlo = (flo - off) * sexp_lo
+            whi = (fhi - off) * sexp_hi
             xlo = x_ref[:, pl.ds(c * chunk, chunk)].astype(jnp.float32)
             xhi = x_ref[:, pl.ds(half_e + c * chunk, chunk)].astype(
                 jnp.float32)
@@ -416,6 +423,8 @@ def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
     # proj tile: packed rows [t*BFh, (t+1)*BFh) — lo nibbles multiply h_lo,
     # hi nibbles h_hi; both dequant chunked over rows
     acc_o = jnp.zeros(o_ref.shape, jnp.float32)
+    magic = jnp.int32(0x4B000000)
+    off = jnp.float32(8388608.0 + 8.0)
     for c in range(block_fh // chunk):
         pch = pp_ref[pl.ds(c * chunk, chunk), :].astype(jnp.int32)
         nbc = chunk // QK
@@ -426,8 +435,10 @@ def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
             slo[:, None, :], (nbc, QK, to)).reshape(chunk, to)
         sexp_hi = jnp.broadcast_to(
             shi[:, None, :], (nbc, QK, to)).reshape(chunk, to)
-        wlo = ((pch & 0x0F) - 8).astype(jnp.float32) * sexp_lo
-        whi = ((pch >> 4) - 8).astype(jnp.float32) * sexp_hi
+        flo = jax.lax.bitcast_convert_type((pch & 0x0F) | magic, jnp.float32)
+        fhi = jax.lax.bitcast_convert_type((pch >> 4) | magic, jnp.float32)
+        wlo = (flo - off) * sexp_lo
+        whi = (fhi - off) * sexp_hi
         acc_o += jnp.dot(h_lo[:, c * chunk:(c + 1) * chunk], wlo,
                          preferred_element_type=jnp.float32)
         acc_o += jnp.dot(h_hi[:, c * chunk:(c + 1) * chunk], whi,
