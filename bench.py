@@ -100,8 +100,8 @@ def main() -> int:
     # (one fetch each) and difference them — the constant cancels.
     kwargs = dict(top_k=1, top_p=1.0, temperature=1.0, repeat_penalty=1.0,
                   greedy=True)
-    n_long = max(args.tokens, 32)
-    n_short = 16  # == engine.decode_chunk → shares its compiled executable
+    n_long = max(args.tokens, 64)
+    n_short = 32  # == engine.decode_chunk → shares its compiled executable
 
     def timed_loop(B, n_steps, reps=3):
         times = []

@@ -57,7 +57,11 @@ class InferenceEngine:
         n_ctx: Optional[int] = None,
         kv_dtype=None,
         donate_cache: bool = True,
-        decode_chunk: int = 16,
+        # 32-token on-device chunks: each chunk dispatch costs ~30 ms of
+        # host/tunnel time even when pipelined, so bigger chunks keep the
+        # device busy (e2e/step ratio 0.71 at 16 on GPT-J B=1); the cost is
+        # up to chunk-1 discarded speculative tokens after a stop token
+        decode_chunk: int = 32,
         unroll_layers: Optional[bool] = None,
         plane_split: Optional[bool] = None,
     ):

@@ -371,6 +371,9 @@ def to_ggml_q4_1_bytes(packed: np.ndarray, deltas: np.ndarray,
 def q4_take_rows(w: Q4Tensor, ids: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Gather + dequantize logical rows (axis O) of a Q4 matrix → [..., K]
     (reference: ggml_get_rows on a quantized wte, vsim.cpp:518)."""
+    assert w.layout == "i", (
+        "q4_take_rows assumes the interleaved layout; embeddings are never "
+        "plane-split (engine transforms only matmul weights)")
     packed = jnp.take(w.packed, ids, axis=-1)  # [K//2, *ids.shape]
     scales = jnp.take(w.scales, ids, axis=-1)  # [K//QK, *ids.shape]
     half_k = packed.shape[0]
