@@ -182,6 +182,11 @@ def main() -> int:
         tps = res.timings["tokens_per_s"]
         prefill_s = res.timings["prefill_s"]
     except Exception:
+        # best-effort extras — but never silently (a whole round lost the
+        # pythia-12b B=1 row to a swallowed traceback)
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         prefill_s = None
 
     # self-established speed-of-light target

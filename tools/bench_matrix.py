@@ -50,6 +50,10 @@ def main() -> int:
     args = ap.parse_args()
 
     results = {}
+    if args.only and os.path.exists(args.out):
+        # --only reruns one config: keep the other entries
+        with open(args.out) as f:
+            results = json.load(f)
     for cfg in CONFIGS:
         if args.only and cfg["name"] not in args.only:
             continue

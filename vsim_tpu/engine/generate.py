@@ -100,7 +100,12 @@ class InferenceEngine:
         if unroll_layers:
             from vsim_tpu.models.init import unstack_layer_params
 
-            self.params = unstack_layer_params(self.params)
+            # consume=True empties the caller's stacked layers dict as the
+            # per-layer copies are made — without it the caller's reference
+            # keeps both layouts alive and pythia-12b (6.7 GB weights)
+            # OOMs a 16 GB chip during engine construction
+            self.params = unstack_layer_params(self.params, consume=True)
+            params = None  # drop the constructor-arg alias
         self.unrolled = unroll_layers
 
         # Plane-split repack (quant/q4.py:to_plane_split): the two nibble
@@ -120,16 +125,20 @@ class InferenceEngine:
                 # index in dimension 0 is a multiple of 8")
                 return t.in_features % 512 == 0
 
-            layers = dict(self.params["layers"])
+            # in-place per-group replacement: the interleaved tuples free as
+            # they are repacked (self.params is the sole owner after the
+            # consume-unstack), keeping the transient at one group
+            layers = self.params["layers"]
             for k in list(layers):
                 v = layers[k]
                 if (isinstance(v, tuple) and v and isinstance(v[0], _Q4)
                         and _eligible(v[0])):
                     layers[k] = tuple(to_plane_split(t) for t in v)
-            p = dict(self.params, layers=layers)
-            if isinstance(p.get("lm_head"), _Q4) and _eligible(p["lm_head"]):
-                p["lm_head"] = to_plane_split(p["lm_head"])
-            self.params = p
+            if (isinstance(self.params.get("lm_head"), _Q4)
+                    and _eligible(self.params["lm_head"])):
+                self.params = dict(self.params,
+                                   lm_head=to_plane_split(
+                                       self.params["lm_head"]))
         self.plane_split = plane_split
 
         donate = (2,) if donate_cache else ()
@@ -314,15 +323,18 @@ class InferenceEngine:
             # A stop token discovered in chunk k just discards chunk k+1's
             # speculatively-computed tokens.
             n_dispatched = 1
-            pending = None  # device tokens of the previous chunk
+            pending: List = []  # device tokens of in-flight chunks
             while True:
-                room = self.n_ctx - 1 - n_past
-                new_pending = None
-                if not stopped and n_dispatched < n_predict and room > 0:
+                # keep TWO chunks in flight: one dispatch costs ~30 ms of
+                # host/tunnel time, so with a single pending chunk the
+                # device idles that long between chunks (measured e2e/step
+                # 0.83 at depth 1)
+                while (not stopped and n_dispatched < n_predict
+                       and (self.n_ctx - 1 - n_past) > 0 and len(pending) < 2):
                     # always run a full chunk when there's room (extra
                     # tokens are discarded) — keeps n_steps static so each
                     # chunk size compiles exactly once
-                    n_steps = min(self.decode_chunk, room)
+                    n_steps = min(self.decode_chunk, self.n_ctx - 1 - n_past)
                     toks, cache, last_tokens, key = self._decode_many(
                         self.params, tok, cache, n_past, last_tokens, key,
                         n_steps=n_steps,
@@ -332,12 +344,10 @@ class InferenceEngine:
                     n_past += n_steps
                     tok = toks[-1]
                     n_dispatched += n_steps
-                    new_pending = toks
-                if pending is not None:
-                    stopped = drain(pending) or stopped
-                pending = new_pending
-                if pending is None:
+                    pending.append(toks)
+                if not pending:
                     break
+                stopped = drain(pending.pop(0)) or stopped
         t_done = time.perf_counter()
 
         n_gen = len(generated)

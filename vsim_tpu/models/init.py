@@ -162,7 +162,8 @@ def random_q4_params(cfg: ModelConfig, seed: int = 0, scale_dtype=DEFAULT_SCALE_
     return params
 
 
-def unstack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def unstack_layer_params(params: Dict[str, Any], *,
+                         consume: bool = False) -> Dict[str, Any]:
     """Split each layer-stacked Q4 weight into a TUPLE of per-layer
     Q4Tensors (separate device buffers).
 
@@ -175,17 +176,19 @@ def unstack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
     Non-Q4 entries (LN weights, biases — dense-weight models too) stay
     stacked: a static ``v[il]`` slice of a small array fuses in XLA.
 
-    Memory: groups are unstacked one at a time and the stacked buffer
-    dropped immediately, so peak device use is weights + one group
-    (~1 GB for GPT-J-6B's fc) — PROVIDED the caller drops its own
-    reference to the stacked params (the engine owns this pattern).
+    Memory: groups are unstacked one at a time.  With ``consume=True`` the
+    input's OWN layers dict is emptied as groups are copied, so each stacked
+    buffer frees even while callers still hold the input pytree — peak
+    device use is weights + one group (~1.9 GB for pythia-12b's fc).
+    Without it the input stays intact (tests that compare both layouts) and
+    the peak is 2x weights — pythia-12b OOMed a 16 GB chip that way.
     """
     import jax
 
-    old_layers = dict(params["layers"])
+    old_layers = params["layers"] if consume else dict(params["layers"])
     layers: Dict[str, Any] = {}
     for k in list(old_layers):
-        v = old_layers.pop(k)
+        v = old_layers.pop(k) if consume else old_layers[k]
         if isinstance(v, Q4Tensor) and v.packed.ndim == 3:
             L = v.packed.shape[0]
             per = tuple(
