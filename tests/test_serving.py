@@ -144,3 +144,24 @@ def test_speculative_serving_staggered(setup):
     got = [r.generated for r in sorted(out.values(),
                                        key=lambda r: r.request_id)]
     assert got == want
+
+
+def test_serving_unrolled_params_matches(setup):
+    """Single-device TPU serving swaps in unrolled (per-layer tuple) params
+    (engine/serving.py); the ragged batched step over tuple params must be
+    stream-identical — exercised here on CPU by swapping params manually
+    (the engine's own swap is TPU-gated)."""
+    from vsim_tpu.models.init import prepare_unrolled_params
+
+    cfg, params = setup
+    prompts = [[1, 2, 3], [7, 8, 9, 10, 11], [42]]
+    n = 10
+    want = [_reference_stream(cfg, params, p, n) for p in prompts]
+
+    srv = ServingEngine(cfg, params, max_batch=3)
+    srv.params = prepare_unrolled_params(
+        dict(params, layers=dict(params["layers"])), consume=False)
+    out = srv.run(prompts, n_predict=n, stop_tokens=())
+    got = [r.generated for r in sorted(out.values(),
+                                       key=lambda r: r.request_id)]
+    assert got == want

@@ -97,49 +97,22 @@ class InferenceEngine:
                 isinstance(v, _Q4) and v.packed.ndim == 3
                 for v in self.params["layers"].values()
             )
-        if unroll_layers:
-            from vsim_tpu.models.init import unstack_layer_params
-
-            # consume=True empties the caller's stacked layers dict as the
-            # per-layer copies are made — without it the caller's reference
-            # keeps both layouts alive and pythia-12b (6.7 GB weights)
-            # OOMs a 16 GB chip during engine construction
-            self.params = unstack_layer_params(self.params, consume=True)
-            params = None  # drop the constructor-arg alias
-        self.unrolled = unroll_layers
-
-        # Plane-split repack (quant/q4.py:to_plane_split): the two nibble
-        # planes of every per-layer weight become contiguous halves of x,
-        # so each decode matmul runs the glue-free kernel — no pad-concat,
-        # no strided deinterleave, no output slice (~50 us of host graph per
-        # call, the measured B=1 wall; ops/pallas_q4.py:_kernel_ps).
+        # Unstack (consume=True frees each stacked group as it is copied —
+        # pythia-12b OOMed a 16 GB chip with both layouts alive) and
+        # plane-split repack: the two nibble planes become contiguous halves
+        # of x, so each decode matmul runs the glue-free kernel — no
+        # pad-concat, no strided deinterleave, no output slice (~50 us of
+        # host graph per call, the measured B=1 wall; _kernel_ps).
         if plane_split is None:
             plane_split = bool(unroll_layers)
-        if plane_split:
-            from vsim_tpu.quant.q4 import to_plane_split
+        if unroll_layers:
+            from vsim_tpu.models.init import prepare_unrolled_params
 
-            def _eligible(t):
-                # K % 512 == 0 guarantees a block_kh >= 256, i.e. >= 8 scale
-                # rows per plane per tile — Mosaic rejects sub-8-row sublane
-                # offsets (seen on gpt2's K=768: "cannot statically prove
-                # index in dimension 0 is a multiple of 8")
-                return t.in_features % 512 == 0
-
-            # in-place per-group replacement: the interleaved tuples free as
-            # they are repacked (self.params is the sole owner after the
-            # consume-unstack), keeping the transient at one group
-            layers = self.params["layers"]
-            for k in list(layers):
-                v = layers[k]
-                if (isinstance(v, tuple) and v and isinstance(v[0], _Q4)
-                        and _eligible(v[0])):
-                    layers[k] = tuple(to_plane_split(t) for t in v)
-            if (isinstance(self.params.get("lm_head"), _Q4)
-                    and _eligible(self.params["lm_head"])):
-                self.params = dict(self.params,
-                                   lm_head=to_plane_split(
-                                       self.params["lm_head"]))
-        self.plane_split = plane_split
+            self.params = prepare_unrolled_params(
+                self.params, consume=True, plane_split=plane_split)
+            params = None  # drop the constructor-arg alias
+        self.unrolled = unroll_layers
+        self.plane_split = plane_split and unroll_layers
 
         donate = (2,) if donate_cache else ()
 

@@ -96,6 +96,14 @@ class ServingEngine:
             from vsim_tpu.parallel.sharding import shard_params
 
             params = shard_params(params, mesh)
+        elif jax.default_backend() == "tpu":
+            # single-device serving rides the same unrolled plane-split
+            # decode path as InferenceEngine (glue-free kernels; the ragged
+            # batched step is just n = max_batch rows).  Sharded serving
+            # keeps the stacked layout (TP rules shard stacked arrays).
+            from vsim_tpu.models.init import prepare_unrolled_params
+
+            params = prepare_unrolled_params(params, consume=True)
         self.params = params
         self.max_batch = max_batch
         self.n_ctx = n_ctx or cfg.n_ctx

@@ -204,6 +204,34 @@ def unstack_layer_params(params: Dict[str, Any], *,
     return dict(params, layers=layers)
 
 
+def prepare_unrolled_params(params: Dict[str, Any], *,
+                            consume: bool = True,
+                            plane_split: bool = True) -> Dict[str, Any]:
+    """Unstack + plane-split repack for the decode fast path (the shared
+    engine-load transform: InferenceEngine and single-device ServingEngine).
+    ``consume=True`` frees each stacked group as it is copied (see
+    unstack_layer_params).  Plane-split applies only to K % 512 == 0 weights
+    (Mosaic needs >= 8 scale rows per tile) and to the lm_head."""
+    params = unstack_layer_params(params, consume=consume)
+    if not plane_split:
+        return params
+    from vsim_tpu.quant.q4 import to_plane_split
+
+    def _eligible(t):
+        return t.in_features % 512 == 0
+
+    layers = params["layers"]  # sole owner after unstack: mutate in place
+    for k in list(layers):
+        v = layers[k]
+        if (isinstance(v, tuple) and v and isinstance(v[0], Q4Tensor)
+                and _eligible(v[0])):
+            layers[k] = tuple(to_plane_split(t) for t in v)
+    lm = params.get("lm_head")
+    if isinstance(lm, Q4Tensor) and _eligible(lm):
+        params = dict(params, lm_head=to_plane_split(lm))
+    return params
+
+
 def param_bytes(params) -> int:
     import jax
 
