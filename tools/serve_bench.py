@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--prompt-style", default="random",
                     choices=["random", "repeat"])
+    ap.add_argument("--chunk-steps", type=int, default=8,
+                    help="serving steps per host round trip (step_chunk); "
+                    "1 = the per-step path")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the virtual CPU device mesh (scaling-shape "
                     "check without claiming the TPU tunnel; set XLA_FLAGS="
@@ -109,10 +112,15 @@ def main() -> int:
     for p in prompts:
         eng.submit(p, args.tokens, stop_tokens=())
     step_times = []
+    chunked = args.chunk_steps > 1 and not args.spec
     while eng._queue or eng._active:
         t1 = time.perf_counter()
-        eng.step()
-        step_times.append(time.perf_counter() - t1)
+        if chunked:
+            eng.step_chunk(args.chunk_steps)
+        else:
+            eng.step()
+        dt = time.perf_counter() - t1
+        step_times.append(dt / (args.chunk_steps if chunked else 1))
     wall = time.perf_counter() - t0
 
     reqs = list(eng._results.values())
@@ -136,6 +144,7 @@ def main() -> int:
             "step_ms_p50": round(
                 1e3 * float(np.median(step_times)), 3),
             "tp": args.tp or 1,
+            "chunk_steps": args.chunk_steps if chunked else 1,
             "device": str(jax.devices()[0]),
         },
     }

@@ -42,9 +42,11 @@ class ModelConfig:
     # (ggml.c:5030-5038) — for bit-width-matched logits/ppl comparisons
     act_quant: bool = False
     # blockwise (flash) attention for prefill-shaped steps (T >= 64, uniform
-    # n_past).  Inference-only: the Pallas kernel defines no VJP, so training
-    # keeps the einsum path.  See ops/attention.py.
-    use_flash: bool = False
+    # n_past).  Default ON since round 3: measured on v5e (FLASH_BENCH.json)
+    # 4.5x faster attention at T=2048 (12.4 vs 56.2 ms per 28-layer stack)
+    # and >= einsum on full-model prefill at T=1024/2048; custom VJP is
+    # oracle-tested so training may keep it on too.  See ops/attention.py.
+    use_flash: bool = True
     # fuse wq/wk/wv into one head-interleaved w_qkv at engine load
     # (models/init.py:fuse_qkv_params) — one weight stream per layer
     # instead of three on the decode hot path

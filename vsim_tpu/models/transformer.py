@@ -326,9 +326,11 @@ def attention(
     return out, k_all, v_all
 
 
+# activations the fused MLP kernel can compute: Mosaic implements tanh but
+# neither erf nor erfc (measured on v5e), so exact-gelu archs (NeoX/pythia)
+# keep the two-kernel plane-split MLP — numerics over fusion
 _FUSED_ACTS = {"gelu_tanh": "gelu_tanh", "gelu_new": "gelu_tanh",
-               "gelu_fast": "gelu_tanh", "gelu_exact": "gelu_exact",
-               "gelu": "gelu_exact", "relu": "relu"}
+               "gelu_fast": "gelu_tanh", "relu": "relu"}
 
 
 def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:

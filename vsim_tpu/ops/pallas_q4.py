@@ -413,8 +413,12 @@ def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
         h_lo, h_hi = jax.nn.gelu(h_lo, approximate=True), \
             jax.nn.gelu(h_hi, approximate=True)
     elif act == "gelu_exact":
-        h_lo, h_hi = jax.nn.gelu(h_lo, approximate=False), \
-            jax.nn.gelu(h_hi, approximate=False)
+        # explicit erf form: jax.nn.gelu(approximate=False) lowers through
+        # erfc, which Mosaic does not implement (pythia-12b B=1 failure)
+        def gelu_erf(v):
+            return 0.5 * v * (1.0 + jax.lax.erf(v * 0.7071067811865476))
+
+        h_lo, h_hi = gelu_erf(h_lo), gelu_erf(h_hi)
     elif act == "relu":
         h_lo, h_hi = jnp.maximum(h_lo, 0), jnp.maximum(h_hi, 0)
     else:
