@@ -40,6 +40,7 @@ target for HBM-bound decode.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -298,6 +299,12 @@ def _pallas_q4_matmul_ps_2d(
         kern = functools.partial(_kernel_ps, acc_dtype=acc_dtype, math=math,
                                  block_kh=block_kh, half_k=half_k)
 
+    cp = (pltpu.CompilerParams(
+              dimension_semantics=("parallel", "arbitrary"),
+              vmem_limit_bytes=100 * 2**20)
+          if os.environ.get("VSIM_PS_BIG_TILES")
+          else pltpu.CompilerParams(
+              dimension_semantics=("parallel", "arbitrary")))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -305,9 +312,7 @@ def _pallas_q4_matmul_ps_2d(
         out_specs=pl.BlockSpec((N, block_o), lambda i, k: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=cp,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * K * O,
             bytes_accessed=packed.size + scales.size * scales.dtype.itemsize
@@ -338,6 +343,11 @@ def pallas_q4_matmul_ps(
     block_o, block_kh = _pick_blocks(K // 2, O, max(n, 8))
     if block_kh % QK:  # ps scale rows need 32-row groups
         block_kh = max(QK, block_kh - block_kh % QK)
+    if os.environ.get("VSIM_PS_BIG_TILES"):  # A/B: 2M-element tiles +
+        # raised scoped-VMEM limit (see _pallas_q4_matmul_ps_2d)
+        while (block_kh < 1024 and (K // 2) % (2 * block_kh) == 0
+               and block_kh * block_o < (2 << 20)):
+            block_kh *= 2
     if bias is not None and bias.shape[-1] != O:  # padded lm_head
         bias = jnp.pad(bias, (0, O - bias.shape[-1]))
     y = _pallas_q4_matmul_ps_2d(
