@@ -48,6 +48,15 @@ from vsim_tpu.engine.sampling import SamplingParams, sample_jax
 from vsim_tpu.models.config import ModelConfig
 from vsim_tpu.models.transformer import forward, init_cache
 
+
+def _kv_bucket(needed: int, n_ctx: int) -> int:
+    """Power-of-two attended-cache buckets from 128 (bounded compile count;
+    see engine/generate.py:kv_bucket)."""
+    b = 128
+    while b < needed and b < n_ctx:
+        b *= 2
+    return min(n_ctx, b)
+
 _STEP_STATIC = ("top_k", "top_p", "temperature", "repeat_penalty", "greedy")
 
 
@@ -399,7 +408,7 @@ class ServingEngine:
         for slot, req in self._active.items():
             active_mask[slot] = True
             longest = max(longest, len(req.prompt_ids) + len(req.generated))
-        kv_len = min(self.n_ctx, max(128, -(-(longest + 1) // 128) * 128))
+        kv_len = _kv_bucket(longest + 1, self.n_ctx)
         sp = self.sampling
         self.cache, nxt, self.n_past, self.last_tokens, self.key = (
             self._step_fn(
@@ -428,7 +437,7 @@ class ServingEngine:
             longest = max(longest, len(req.prompt_ids) + len(req.generated))
         gamma = self.drafter.gamma
         need = longest + gamma + 2
-        kv_len = min(self.n_ctx, max(128, -(-need // 128) * 128))
+        kv_len = _kv_bucket(need, self.n_ctx)
         self.cache, self.tokens, self.n_past, self.history, emit, n_emit = (
             self._spec_step_fn(
                 self.params, self.cache, self.tokens, self.n_past,
@@ -473,8 +482,7 @@ class ServingEngine:
                 stop_common = (set(req.stop_tokens) if stop_common is None
                                else stop_common & set(req.stop_tokens))
             stop_ids = sorted(stop_common or {-1}) or [-1]
-            kv_len = min(self.n_ctx,
-                         max(128, -(-(longest + n_steps + 1) // 128) * 128))
+            kv_len = _kv_bucket(longest + n_steps + 1, self.n_ctx)
             sp = self.sampling
             (self.cache, self.tokens, self.n_past, self.last_tokens,
              self.key, _, _, toks, actives) = self._step_many_fn(

@@ -287,7 +287,11 @@ class SpeculativeEngine:
             self._prefill_draft = None
 
     def kv_bucket(self, needed: int) -> int:
-        return min(self.n_ctx, max(128, -(-needed // 128) * 128))
+        # power-of-two buckets (see engine/generate.py:kv_bucket)
+        b = 128
+        while b < needed and b < self.n_ctx:
+            b *= 2
+        return min(self.n_ctx, b)
 
     def generate(
         self,
