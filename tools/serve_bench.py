@@ -49,6 +49,10 @@ def main() -> int:
     ap.add_argument("--chunk-steps", type=int, default=8,
                     help="serving steps per host round trip (step_chunk); "
                     "1 = the per-step path")
+    ap.add_argument("--arrival-ms", type=float, default=0.0,
+                    help="fixed inter-arrival spacing; 0 = all requests "
+                    "submitted upfront (TTFT then measures wave admission, "
+                    "not service latency)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the virtual CPU device mesh (scaling-shape "
                     "check without claiming the TPU tunnel; set XLA_FLAGS="
@@ -109,11 +113,18 @@ def main() -> int:
     eng.run(prompts[:2], n_predict=4, stop_tokens=())
 
     t0 = time.perf_counter()
-    for p in prompts:
-        eng.submit(p, args.tokens, stop_tokens=())
+    arrivals = [i * args.arrival_ms / 1e3 for i in range(len(prompts))]
+    next_up = 0
     step_times = []
     chunked = args.chunk_steps > 1 and not args.spec
-    while eng._queue or eng._active:
+    while next_up < len(prompts) or eng._queue or eng._active:
+        now = time.perf_counter() - t0
+        while next_up < len(prompts) and arrivals[next_up] <= now:
+            eng.submit(prompts[next_up], args.tokens, stop_tokens=())
+            next_up += 1
+        if not (eng._queue or eng._active):
+            time.sleep(max(arrivals[next_up] - now, 0.0))
+            continue
         t1 = time.perf_counter()
         if chunked:
             eng.step_chunk(args.chunk_steps)
