@@ -80,11 +80,15 @@ def main() -> int:
     cfg = PRESETS[args.model].replace(
         n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype=args.kv
     )
-    params = random_q4_params(cfg, seed=0)
+    unroll = {"auto": None, "on": True, "off": False}[args.unroll]
+    # generate per-layer weights directly when the unrolled path will be
+    # used: no stacked copy ever exists on device (gpt-neox-20b's stacked +
+    # per-layer transient would exceed the 16 GB chip)
+    unstacked = unroll is not False and jax.default_backend() == "tpu"
+    params = random_q4_params(cfg, seed=0, unstacked=unstacked)
     params = jax.device_put(params)
     wbytes = param_bytes(params)
 
-    unroll = {"auto": None, "on": True, "off": False}[args.unroll]
     engine = InferenceEngine(cfg, params, unroll_layers=unroll)
     # free the stacked weight buffers the engine just unstacked — keeping
     # both copies alive would deny the KV cache its HBM (pythia-12b: 6.7 GB

@@ -94,7 +94,8 @@ class InferenceEngine:
         # unstack_layer_params memory note).
         if unroll_layers is None:
             unroll_layers = jax.default_backend() == "tpu" and any(
-                isinstance(v, _Q4) and v.packed.ndim == 3
+                (isinstance(v, _Q4) and v.packed.ndim == 3)
+                or (isinstance(v, tuple) and v and isinstance(v[0], _Q4))
                 for v in self.params["layers"].values()
             )
         # Unstack (consume=True frees each stacked group as it is copied —

@@ -119,20 +119,36 @@ def init_params(
     return params
 
 
-def random_q4_params(cfg: ModelConfig, seed: int = 0, scale_dtype=DEFAULT_SCALE_DTYPE):
+def random_q4_params(cfg: ModelConfig, seed: int = 0,
+                     scale_dtype=DEFAULT_SCALE_DTYPE,
+                     unstacked: bool = False):
     """Benchmark-grade Q4 params: random *packed bytes* directly (no float
     materialization/quantization pass — instant even at 6B scale; the memory
     traffic is identical to a real checkpoint, which is what a decode
-    benchmark measures)."""
+    benchmark measures).
+
+    ``unstacked=True`` emits per-layer TUPLES (the unrolled decode layout)
+    straight from the generator — no stacked copy ever exists on device, so
+    models whose stacked+unstacked transient exceeds HBM (gpt-neox-20b:
+    11.4 GB weights + a 3.8 GB fc group) still fit."""
     rng = np.random.default_rng(seed)
     dims = _dims(cfg)
     L = cfg.n_layer
 
+    def q4_one(O, K):
+        packed = rng.integers(0, 256, size=(K // 2, O), dtype=np.uint8)
+        scales = (rng.random((K // QK, O), dtype=np.float32) * 0.01).astype(
+            scale_dtype)
+        return Q4Tensor(packed=jnp.asarray(packed), scales=jnp.asarray(scales))
+
     def q4(shape_names, stacked=True):
         O, K = (dims[s] for s in shape_names)
-        lead = (L,) if stacked else ()
-        packed = rng.integers(0, 256, size=(*lead, K // 2, O), dtype=np.uint8)
-        scales = (rng.random((*lead, K // QK, O), dtype=np.float32) * 0.01).astype(
+        if not stacked:
+            return q4_one(O, K)
+        if unstacked:
+            return tuple(q4_one(O, K) for _ in range(L))
+        packed = rng.integers(0, 256, size=(L, K // 2, O), dtype=np.uint8)
+        scales = (rng.random((L, K // QK, O), dtype=np.float32) * 0.01).astype(
             scale_dtype
         )
         return Q4Tensor(packed=jnp.asarray(packed), scales=jnp.asarray(scales))
@@ -270,6 +286,16 @@ def fuse_qkv_params(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
             [x.reshape(*lead, H, D) for x in (a, b, c)], axis=-2
         )  # [..., H, 3, D]
         return stk.reshape(*lead, 3 * H * D)
+
+    if isinstance(wq, tuple):  # already-unstacked per-layer weights
+        layers["w_qkv"] = tuple(
+            Q4Tensor(packed=mix_last(q.packed, k.packed, v.packed),
+                     scales=mix_last(q.scales, k.scales, v.scales))
+            for q, k, v in zip(wq, wk, wv))
+        if all(k in layers for k in ("bq", "bk", "bv")):
+            layers["b_qkv"] = mix_last(
+                *(layers.pop(k) for k in ("bq", "bk", "bv")))
+        return dict(params, layers=layers)
 
     if isinstance(wq, Q4Tensor):
         layers["w_qkv"] = Q4Tensor(
