@@ -40,6 +40,11 @@ CONFIGS = [
     # 12B INT4 = 6.8 GB weights; B=32 int8 KV at 512 ctx = 7.5 GB
     {"name": "pythia-12b-b16", "args": ["--model", "pythia-12b", "--batch",
                                         "16", "--tokens", "64"]},
+    # the biggest model in the reference registry (GPT-NeoXT-Chat-Base-20B):
+    # 11.6 GB int4 weights on one 16 GB chip (unstacked generation — no
+    # stacked transient)
+    {"name": "gpt-neox-20b-b8", "args": ["--model", "gpt-neox-20b",
+                                         "--batch", "8", "--tokens", "32"]},
 ]
 
 

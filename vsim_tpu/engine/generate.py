@@ -67,6 +67,8 @@ class InferenceEngine:
     ):
         self.cfg = cfg
         self.params = params
+        params = None  # the arg alias would pin pre-transform weights in
+        # HBM through the load-time repacks below (gpt-neox-20b OOM)
         self.n_ctx = n_ctx or cfg.n_ctx
         self.kv_dtype = jnp.dtype(kv_dtype or cfg.kv_dtype)
         self.decode_chunk = decode_chunk
@@ -76,14 +78,14 @@ class InferenceEngine:
         # the logits back to n_vocab
         from vsim_tpu.quant.q4 import Q4Tensor as _Q4
 
-        lm = params.get("lm_head")
+        lm = self.params.get("lm_head")
         if isinstance(lm, _Q4) and lm.out_features % 256:
-            self.params = dict(params, lm_head=lm.pad_out(256))
+            self.params = dict(self.params, lm_head=lm.pad_out(256))
 
         if cfg.fuse_qkv:
             from vsim_tpu.models.init import fuse_qkv_params
 
-            self.params = fuse_qkv_params(cfg, self.params)
+            self.params = fuse_qkv_params(cfg, self.params, consume=True)
 
         # Unroll the layer loop: per-layer Q4 buffers → flat Pallas kernels
         # with static layer indices (the stacked scalar-prefetch kernel costs
@@ -111,7 +113,6 @@ class InferenceEngine:
 
             self.params = prepare_unrolled_params(
                 self.params, consume=True, plane_split=plane_split)
-            params = None  # drop the constructor-arg alias
         self.unrolled = unroll_layers
         self.plane_split = plane_split and unroll_layers
 

@@ -211,8 +211,12 @@ def unstack_layer_params(params: Dict[str, Any], *,
                 Q4Tensor(packed=v.packed[i], scales=v.scales[i])
                 for i in range(L)
             )
-            # materialize the slices before dropping the stack
+            # materialize the slices before dropping the stack — with a
+            # value fetch: block_until_ready is enqueue-only through the
+            # axon tunnel and the async pipeline otherwise allocates every
+            # group's copies before any complete
             jax.block_until_ready([t.packed for t in per])
+            per[-1].packed[0, 0].item()
             del v
             layers[k] = per
         else:
@@ -241,7 +245,22 @@ def prepare_unrolled_params(params: Dict[str, Any], *,
         v = layers[k]
         if (isinstance(v, tuple) and v and isinstance(v[0], Q4Tensor)
                 and _eligible(v[0])):
-            layers[k] = tuple(to_plane_split(t) for t in v)
+            # element-wise consume: each interleaved layer frees as soon as
+            # its plane-split copy exists (building the whole new tuple
+            # first doubles the group — 3.3 GB for gpt-neox-20b's fc)
+            lst = list(v)
+            layers[k] = lst
+            v = None
+            for i in range(len(lst)):
+                lst[i] = to_plane_split(lst[i])
+                # HARD sync (scalar fetch): async dispatch otherwise
+                # enqueues every layer's repack at once, allocating all
+                # their outputs+temporaries before any complete —
+                # gpt-neox-20b OOMed with errors surfacing at later ops
+                # (block_until_ready does not block through the axon
+                # tunnel)
+                lst[i].packed[0, 0].item()
+            layers[k] = tuple(lst)
     lm = params.get("lm_head")
     if isinstance(lm, Q4Tensor) and _eligible(lm):
         params = dict(params, lm_head=to_plane_split(lm))
@@ -257,7 +276,8 @@ def param_bytes(params) -> int:
     return total
 
 
-def fuse_qkv_params(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+def fuse_qkv_params(cfg: ModelConfig, params: Dict[str, Any], *,
+                    consume: bool = False) -> Dict[str, Any]:
     """Fuse per-layer wq/wk/wv (+bq/bk/bv) into one head-interleaved
     ``w_qkv`` [L, K/2, 3E] (+``b_qkv`` [L, 3E]).
 
@@ -273,7 +293,10 @@ def fuse_qkv_params(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
     over the output axis still splits on head boundaries and attention
     recovers q/k/v with one reshape [B,T,H,3,D] (no cross-shard gather).
     """
-    layers = dict(params["layers"])
+    # consume=True mutates the INPUT's layers dict so the split q/k/v free
+    # as the fused copies build (a 20B model cannot hold both sets plus the
+    # caller's pinned reference; see prepare_unrolled_params)
+    layers = params["layers"] if consume else dict(params["layers"])
     if "w_qkv" in layers or "wq" not in layers:
         return params
     H, D = cfg.n_head, cfg.head_dim
@@ -288,10 +311,17 @@ def fuse_qkv_params(cfg: ModelConfig, params: Dict[str, Any]) -> Dict[str, Any]:
         return stk.reshape(*lead, 3 * H * D)
 
     if isinstance(wq, tuple):  # already-unstacked per-layer weights
-        layers["w_qkv"] = tuple(
-            Q4Tensor(packed=mix_last(q.packed, k.packed, v.packed),
-                     scales=mix_last(q.scales, k.scales, v.scales))
-            for q, k, v in zip(wq, wk, wv))
+        wq, wk, wv = list(wq), list(wk), list(wv)
+        fused = []
+        for i in range(len(wq)):
+            q, k, v = wq[i], wk[i], wv[i]
+            fused.append(Q4Tensor(
+                packed=mix_last(q.packed, k.packed, v.packed),
+                scales=mix_last(q.scales, k.scales, v.scales)))
+            if consume:  # release the split layer + hard-sync the pipeline
+                wq[i] = wk[i] = wv[i] = q = k = v = None
+                fused[-1].packed[0, 0].item()
+        layers["w_qkv"] = tuple(fused)
         if all(k in layers for k in ("bq", "bk", "bv")):
             layers["b_qkv"] = mix_last(
                 *(layers.pop(k) for k in ("bq", "bk", "bv")))
