@@ -117,3 +117,30 @@ def test_eos_stop():
         stop_tokens=range(128),  # every token is EOS → stop after 1
     )
     assert len(res.token_ids) == 1
+
+
+def test_stop_mid_stream_discards_inflight_chunks():
+    """A stop token found while later chunks are in flight must NOT leak
+    those chunks' speculative tokens into the output (ADVICE r3 high:
+    drain() of chunk k+1 kept emitting after chunk k stopped)."""
+    params = init_params(CFG, seed=0, quantize=False)
+    eng = InferenceEngine(CFG, params, decode_chunk=4)
+    # find the greedy continuation, then stop on its 2nd generated token —
+    # with chunk=4 and n_predict spanning several chunks, chunk k+1 is
+    # already dispatched when the stop is discovered during drain
+    free = eng.generate([1, 2, 3], n_predict=16,
+                        sampling=SamplingParams(greedy=True))
+    stop_tok = free.token_ids[1]
+    expected = free.token_ids[: free.token_ids.index(stop_tok) + 1]
+    res = eng.generate([1, 2, 3], n_predict=16,
+                       sampling=SamplingParams(greedy=True),
+                       stop_tokens=[stop_tok])
+    assert res.token_ids == expected, (
+        "tokens after the stop token leaked from in-flight chunks")
+    # streaming hook must see exactly the emitted tokens, nothing post-stop
+    seen = []
+    res2 = eng.generate([1, 2, 3], n_predict=16,
+                        sampling=SamplingParams(greedy=True),
+                        stop_tokens=[stop_tok],
+                        streaming_token_hook=seen.append)
+    assert seen == res2.token_ids == res.token_ids

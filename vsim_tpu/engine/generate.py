@@ -47,7 +47,15 @@ def _bucket(n: int, minimum: int = 16) -> int:
 
 
 class InferenceEngine:
-    """Single-model inference engine over one jax device/mesh."""
+    """Single-model inference engine over one jax device/mesh.
+
+    .. warning:: On TPU the constructor **consumes the caller's params** by
+       default: the load-time repacks (qkv fusion, layer unstacking,
+       plane-split) free each source buffer as it is transformed, emptying
+       ``params["layers"]`` in place — required so 20B models fit a 16 GB
+       chip (both layouts alive OOM).  Pass ``consume_params=False`` to keep
+       the caller's pytree intact (costs peak HBM ≈ 2x weights).
+    """
 
     def __init__(
         self,
@@ -57,6 +65,7 @@ class InferenceEngine:
         n_ctx: Optional[int] = None,
         kv_dtype=None,
         donate_cache: bool = True,
+        consume_params: bool = True,
         # 32-token on-device chunks: each chunk dispatch costs ~30 ms of
         # host/tunnel time even when pipelined, so bigger chunks keep the
         # device busy (e2e/step ratio 0.71 at 16 on GPT-J B=1); the cost is
@@ -85,7 +94,8 @@ class InferenceEngine:
         if cfg.fuse_qkv:
             from vsim_tpu.models.init import fuse_qkv_params
 
-            self.params = fuse_qkv_params(cfg, self.params, consume=True)
+            self.params = fuse_qkv_params(cfg, self.params,
+                                          consume=consume_params)
 
         # Unroll the layer loop: per-layer Q4 buffers → flat Pallas kernels
         # with static layer indices (the stacked scalar-prefetch kernel costs
@@ -112,7 +122,7 @@ class InferenceEngine:
             from vsim_tpu.models.init import prepare_unrolled_params
 
             self.params = prepare_unrolled_params(
-                self.params, consume=True, plane_split=plane_split)
+                self.params, consume=consume_params, plane_split=plane_split)
         self.unrolled = unroll_layers
         self.plane_split = plane_split and unroll_layers
 
@@ -330,7 +340,12 @@ class InferenceEngine:
                     pending.append(toks)
                 if not pending:
                     break
-                stopped = drain(pending.pop(0)) or stopped
+                chunk = pending.pop(0)
+                if not stopped:
+                    # once a stop token has been emitted, in-flight chunks
+                    # are speculative work: discard them WITHOUT emitting
+                    # (draining them appended up to chunk-1 post-stop tokens)
+                    stopped = drain(chunk)
         t_done = time.perf_counter()
 
         n_gen = len(generated)

@@ -89,7 +89,13 @@ class ServingEngine:
         repeat_window: int = 64,
         mesh=None,
         drafter=None,
+        consume_params: bool = True,
     ):
+        """.. warning:: Single-device TPU construction **consumes the
+        caller's params** by default (``prepare_unrolled_params`` with
+        consume=True empties ``params["layers"]`` in place so both layouts
+        are never alive — the 20B-on-16GB requirement).  Pass
+        ``consume_params=False`` to keep the caller's pytree usable."""
         self.cfg = cfg
         from vsim_tpu.quant.q4 import Q4Tensor as _Q4
 
@@ -112,7 +118,7 @@ class ServingEngine:
             # keeps the stacked layout (TP rules shard stacked arrays).
             from vsim_tpu.models.init import prepare_unrolled_params
 
-            params = prepare_unrolled_params(params, consume=True)
+            params = prepare_unrolled_params(params, consume=consume_params)
         self.params = params
         self.max_batch = max_batch
         self.n_ctx = n_ctx or cfg.n_ctx
@@ -430,12 +436,21 @@ class ServingEngine:
         """One speculative serving step: every active slot advances by its
         own accepted-prefix+1 tokens in a single gamma+1-token ragged
         forward.  Output is bit-identical to _step_active (greedy)."""
+        gamma = self.drafter.gamma
+        for req in self._active.values():
+            if (len(req.prompt_ids) + len(req.generated) + gamma + 1
+                    > self.n_ctx):
+                # a full gamma+1 speculative advance would overrun the cache
+                # for this slot; forcing partial host emission while the
+                # device n_past advanced the full n_emit silently desyncs
+                # host lengths from the device cache (ADVICE r3).  Take
+                # plain one-token steps until the tight slots retire.
+                return self._step_active()
         active_mask = np.zeros((self.max_batch,), bool)
         longest = 1
         for slot, req in self._active.items():
             active_mask[slot] = True
             longest = max(longest, len(req.prompt_ids) + len(req.generated))
-        gamma = self.drafter.gamma
         need = longest + gamma + 2
         kv_len = _kv_bucket(need, self.n_ctx)
         self.cache, self.tokens, self.n_past, self.history, emit, n_emit = (
@@ -447,8 +462,8 @@ class ServingEngine:
         self.spec_cycles += 1
         finished = []
         for slot, req in list(self._active.items()):
-            room = self.n_ctx - 1 - (len(req.prompt_ids) + len(req.generated))
-            for jj in range(min(int(n_emit_h[slot]), max(room, 1))):
+            # the pre-dispatch room check guarantees n_emit <= gamma+1 fits
+            for jj in range(int(n_emit_h[slot])):
                 self.spec_emitted += 1
                 self._emit(req, int(emit_h[slot, jj]))
                 if req.done:

@@ -326,11 +326,13 @@ def attention(
     return out, k_all, v_all
 
 
-# activations the fused MLP kernel can compute: Mosaic implements tanh but
-# neither erf nor erfc (measured on v5e), so exact-gelu archs (NeoX/pythia)
-# keep the two-kernel plane-split MLP — numerics over fusion
+# activations the fused MLP kernel can compute.  Mosaic implements neither
+# erf nor erfc, so exact-gelu archs (NeoX/pythia — the reference's primary
+# driver arch, vsim.cpp:749) run an in-kernel A&S erf polynomial
+# (|err| <= 1.5e-7, ops/pallas_q4.py:_erf_poly) — fusion AND numerics
 _FUSED_ACTS = {"gelu_tanh": "gelu_tanh", "gelu_new": "gelu_tanh",
-               "gelu_fast": "gelu_tanh", "relu": "relu"}
+               "gelu_fast": "gelu_tanh", "relu": "relu",
+               "gelu_exact": "gelu_exact"}
 
 
 def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:

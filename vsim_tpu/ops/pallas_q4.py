@@ -360,6 +360,28 @@ def pallas_q4_matmul_ps(
     return y.reshape(*lead, O)
 
 
+def _erf_poly(x):
+    """In-kernel erf: Abramowitz–Stegun 7.1.26 rational-exp approximation,
+    |abs err| <= 1.5e-7 — far below bf16 resolution.  Mosaic implements
+    neither erf nor erfc (measured on v5e: both fail to lower), but exp and
+    polynomials are native, so exact-GELU archs (NeoX/pythia — the
+    reference's PRIMARY driver arch, vsim.cpp:749) can use the fused MLP
+    kernel instead of paying the two-kernel MLP."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -y, y)
+
+
+def _gelu_erf(v):
+    """Exact-erf GELU via _erf_poly (HF NeoX/pythia use the erf form;
+    jax.nn.gelu(approximate=False) lowers through erfc, unsupported by
+    Mosaic)."""
+    return 0.5 * v * (1.0 + _erf_poly(v * 0.7071067811865476))
+
+
 def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
                    pp_ref, sp_lo_ref, sp_hi_ref, bfc_lo_ref, bfc_hi_ref,
                    bp_ref, o_ref, *, math, act, block_fh, chunk, E, F):
@@ -423,12 +445,7 @@ def _kernel_mlp_ps(x_ref, pfc_lo_ref, pfc_hi_ref, sfc_lo_ref, sfc_hi_ref,
         h_lo, h_hi = jax.nn.gelu(h_lo, approximate=True), \
             jax.nn.gelu(h_hi, approximate=True)
     elif act == "gelu_exact":
-        # explicit erf form: jax.nn.gelu(approximate=False) lowers through
-        # erfc, which Mosaic does not implement (pythia-12b B=1 failure)
-        def gelu_erf(v):
-            return 0.5 * v * (1.0 + jax.lax.erf(v * 0.7071067811865476))
-
-        h_lo, h_hi = gelu_erf(h_lo), gelu_erf(h_hi)
+        h_lo, h_hi = _gelu_erf(h_lo), _gelu_erf(h_hi)
     elif act == "relu":
         h_lo, h_hi = jnp.maximum(h_lo, 0), jnp.maximum(h_hi, 0)
     else:
