@@ -38,7 +38,7 @@ def main() -> int:
                     "B=128 w/ int4 KV = 7.5 GB GPT-J cache at n_ctx 512 on "
                     "v5e 16G; B=192 exceeds HBM — the OOM ladder would halve "
                     "it)")
-    ap.add_argument("--tokens", type=int, default=64)
+    ap.add_argument("--tokens", type=int, default=192)
     ap.add_argument("--prompt-len", type=int, default=8)
     ap.add_argument("--n-ctx", type=int, default=512)  # reference n_ctx (vsim.cpp:758)
     ap.add_argument("--kv", default="int4",
@@ -47,13 +47,18 @@ def main() -> int:
                     "int4 plane-packed quarters it, enabling B=128: "
                     "4707 tok/s vs 3478 at int8/B=64 on GPT-J-6B; prefill "
                     "attends over full-precision k/v either way — fresh_kv)")
-    ap.add_argument("--math", default=None, choices=["i32", "f32x", "f32xf"],
+    ap.add_argument("--math", default=None,
+                    choices=["i32", "f32x", "f32xf", "gi"],
                     help="Q4 dequant math variant (ops/pallas_q4.py "
                     "set_dequant_math) for full-model A/B")
     ap.add_argument("--unroll", default="auto", choices=["auto", "on", "off"],
                     help="unroll the layer loop into per-layer flat Pallas "
                     "kernels (auto: on for TPU; 'off' keeps the stacked "
                     "scalar-prefetch kernels for A/B)")
+    # 96-token chunks: 192-token e2e = 2 boundaries; each boundary costs
+    # ~27 ms of host time (pytree flatten + tunnel RTTs) — measured ratios
+    # 0.84@32 / 0.90@64 / 0.93@96 (r4).  Short generations should pass less.
+    ap.add_argument("--decode-chunk", type=int, default=96)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -89,7 +94,8 @@ def main() -> int:
     params = jax.device_put(params)
     wbytes = param_bytes(params)
 
-    engine = InferenceEngine(cfg, params, unroll_layers=unroll)
+    engine = InferenceEngine(cfg, params, unroll_layers=unroll,
+                             decode_chunk=args.decode_chunk)
     # free the stacked weight buffers the engine just unstacked — keeping
     # both copies alive would deny the KV cache its HBM (pythia-12b: 6.7 GB
     # weights x2 on a 16 GB chip)
@@ -105,7 +111,7 @@ def main() -> int:
     kwargs = dict(top_k=1, top_p=1.0, temperature=1.0, repeat_penalty=1.0,
                   greedy=True)
     n_long = max(args.tokens, 64)
-    n_short = 32  # == engine.decode_chunk → shares its compiled executable
+    n_short = args.decode_chunk  # == engine.decode_chunk → shares its compiled executable
 
     def timed_loop(B, n_steps, reps=3):
         times = []
@@ -177,9 +183,11 @@ def main() -> int:
         else:
             p50_ms = step_bn_s * 1e3
         monitor.reset()
-        # warm-up compiles the generate path (its sampling static args differ
-        # from the timed loops above), then time the cached executables
-        engine.generate(prompt, n_predict=2, sampling=sp)
+        # warm-up compiles the generate path (its sampling static args and
+        # every kv-length bucket the run will cross differ from the timed
+        # loops above), then time the cached executables — the e2e number is
+        # the warm steady-state rate, not a compile benchmark
+        engine.generate(prompt, n_predict=args.tokens, sampling=sp)
         t0 = time.perf_counter()
         res = engine.generate(prompt, n_predict=args.tokens, sampling=sp)
         wall = time.perf_counter() - t0

@@ -62,12 +62,15 @@ def _k_dma(xe_ref, xo_ref, p_ref, s_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    # touch the tile cheaply: one 8-row slice (keeps the HBM→VMEM copy live);
-    # Mosaic has no uint8→float32 cast, widen via int32.  xe participates so
-    # chained invocations depend on each other (defeats XLA CSE).
-    o_ref[0:8, :] += (p_ref[0:8, :].astype(jnp.int32).astype(jnp.float32)
-                      + s_ref[0:8, :].astype(jnp.float32)
-                      + xe_ref[0:8, 0:1].astype(jnp.float32))
+    # touch the tile cheaply: one few-row slice (keeps the HBM→VMEM copy
+    # live); Mosaic has no uint8→float32 cast, widen via int32.  xe
+    # participates so chained invocations depend on each other (defeats XLA
+    # CSE).
+    r = min(8, o_ref.shape[0])
+    rs = min(8, s_ref.shape[0])
+    o_ref[0:r, :] += (p_ref[0:r, :].astype(jnp.int32).astype(jnp.float32)
+                      + s_ref[0:rs, :][0:r].astype(jnp.float32)
+                      + xe_ref[0:r, 0:1].astype(jnp.float32))
 
 
 def _k_i32(xe_ref, xo_ref, p_ref, s_ref, o_ref):
@@ -639,6 +642,48 @@ def main():
                           f"{gbs:7.1f} GB/s  relerr={err}", flush=True)
                 except Exception as e:
                     print(f"ps   bo={bo2:5d} bkh={bkh2:4d}  FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        if v == "gi":
+            # production grouped-integer ps kernel (ops/pallas_q4.py): the
+            # offset-8 and the scale multiply both fold into a per-group
+            # rescale of MXU-exact integer partial sums
+            from vsim_tpu.ops.pallas_q4 import _pallas_q4_matmul_ps_2d
+
+            for (bo, bkh) in ([(2048, 256), (2048, 128), (4096, 256),
+                               (4096, 128), (1024, 256), (2048, 512),
+                               (1024, 128), (4096, 64), (2048, 64)]
+                              if args.sweep_blocks else [(2048, 256)]):
+                bo2, bkh2 = min(bo, O), min(bkh, K // 2)
+                try:
+                    def fn(x, wp, scales, bo2=bo2, bkh2=bkh2):
+                        return _pallas_q4_matmul_ps_2d(
+                            x, wp, scales, None, block_o=bo2, block_kh=bkh2,
+                            acc_dtype=jnp.bfloat16, interpret=False,
+                            math="gi", has_bias=False)
+                    ms, gbs = bench(O, K, args.batch, fn,
+                                    w_transform=pack_ps, single_x=True)
+                    rng = np.random.default_rng(1)
+                    Ok = Kk = 1024
+                    from vsim_tpu.quant.q4 import dequantize_km
+                    wt = jax.device_put(Q4Tensor.from_dense_np(
+                        rng.standard_normal((Ok, Kk)).astype(np.float32)))
+                    xt = jnp.asarray(
+                        rng.standard_normal((args.batch, Kk)), jnp.bfloat16)
+                    reft = (xt.astype(jnp.float32)
+                            @ dequantize_km(wt, jnp.float32))
+                    gott = _pallas_q4_matmul_ps_2d(
+                        xt, jnp.asarray(pack_ps(np.asarray(wt.packed))),
+                        wt.scales, None, block_o=min(bo2, Ok),
+                        block_kh=min(bkh2, Kk // 2),
+                        acc_dtype=jnp.bfloat16, interpret=False, math="gi",
+                        has_bias=False)
+                    err = (float(jnp.max(jnp.abs(gott - reft)))
+                           / (float(jnp.max(jnp.abs(reft))) or 1.0))
+                    print(f"gi   bo={bo2:5d} bkh={bkh2:4d}  {ms:7.3f} ms "
+                          f"{gbs:7.1f} GB/s  relerr={err:.2e}", flush=True)
+                except Exception as e:
+                    print(f"gi   bo={bo2:5d} bkh={bkh2:4d}  FAILED "
                           f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
         if v == "res":

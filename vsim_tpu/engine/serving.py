@@ -100,8 +100,8 @@ class ServingEngine:
         from vsim_tpu.quant.q4 import Q4Tensor as _Q4
 
         lm = params.get("lm_head")
-        if isinstance(lm, _Q4) and lm.out_features % 256:
-            params = dict(params, lm_head=lm.pad_out(256))
+        if isinstance(lm, _Q4) and lm.out_features % 1024:
+            params = dict(params, lm_head=lm.pad_out(1024))
         if cfg.fuse_qkv:
             from vsim_tpu.models.init import fuse_qkv_params
 

@@ -340,11 +340,23 @@ def mlp(cfg: ModelConfig, lp: Params, h: jnp.ndarray) -> jnp.ndarray:
     # fused fc+act+proj kernel on the plane-split decode path: one kernel
     # entry instead of two, no [*, F] intermediate round-trip, biases folded
     # (ops/pallas_q4.py:_kernel_mlp_ps)
+    import os
+
+    from vsim_tpu.ops.pallas_q4 import get_dequant_math
+
+    # Under the gi math the UNFUSED two-matmul MLP wins: the grouped-integer
+    # kernels at whole-O row-band geometry stream the fc/proj weights at the
+    # DMA ceiling, while the fused kernel's fc column tiles are narrow-burst
+    # (block_fh-wide) — measured r4: GPT-J B=1 5.15 ms unfused vs 6.20 fused.
+    # The fused kernel remains the best choice for the f32xf/i32 maths
+    # (r3: 7.07 -> 6.62 ms), so it stays routable.
     if (not cfg.act_quant
             and isinstance(w_fc, Q4Tensor) and w_fc.layout == "ps"
             and isinstance(w_proj, Q4Tensor) and w_proj.layout == "ps"
             and cfg.activation in _FUSED_ACTS
-            and jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"
+            and get_dequant_math() != "gi"
+            and not os.environ.get("VSIM_NO_FUSED_MLP")):
         n = 1
         for d in h.shape[:-1]:
             n *= d

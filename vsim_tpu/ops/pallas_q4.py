@@ -60,12 +60,20 @@ from vsim_tpu.quant.q4 import QK, Q4Tensor
 #   f32xf — f32x but planes stay f32 and the dot runs f32 (drops both
 #           per-weight-element casts; x is cast instead, which is per-
 #           activation-element)
-_DEQUANT_MATH = "f32xf"  # measured fastest on the full model (6.307 vs 6.623 ms GPT-J B=1, r3)
+#   gi    — grouped-integer (decode, n <= 8, ps layout only): nibbles enter
+#           the MXU as exact small integers in bf16; offset-8 and the scale
+#           both fold into an O(K/32·O) per-group rescale of the integer
+#           partial sums (block-diagonal activation expansion).  Measured
+#           r4: GPT-J-6B B=1 6.43 → 5.15 ms, with a DMA-probe kernel
+#           confirming the giw variant runs AT the chip's measured HBM
+#           streaming ceiling (~530-690 GB/s on these patterns).  Falls
+#           back to f32xf for n > 8 / non-ps / misaligned shapes.
+_DEQUANT_MATH = "gi"
 
 
 def set_dequant_math(name: str) -> None:
     global _DEQUANT_MATH
-    assert name in ("i32", "f32x", "f32xf")
+    assert name in ("i32", "f32x", "f32xf", "gi")
     _DEQUANT_MATH = name
 
 
@@ -81,6 +89,8 @@ def _dequant_planes(p_ref, s_ref, acc_dtype, stacked: bool, math=None):
     # each Q4 block covers 16 consecutive rows of each nibble plane
     sexp = jnp.broadcast_to(s[:, None, :], (nb, tkh // nb, to)).reshape(tkh, to)
     math = math or _DEQUANT_MATH
+    if math == "gi":  # grouped-integer exists only for the ps kernels
+        math = "f32xf"
     if math == "i32":
         lo = (p & 0x0F) - 8  # elements k = 2c   (low nibble)
         hi = (p >> 4) - 8  # elements k = 2c+1 (high nibble)
@@ -194,6 +204,8 @@ def _dequant_planes_ps(p_ref, s_ref, k_step, acc_dtype, math,
     sexp_lo = expand(s_ref[pl.ds(k_step * nb, nb), :])
     sexp_hi = expand(s_ref[pl.ds(nb2 + k_step * nb, nb), :])
     math = math or _DEQUANT_MATH
+    if math == "gi":  # gi has its own kernels; treat as f32xf here
+        math = "f32xf"
     if math == "i32":
         lo = (p & 0x0F) - 8
         hi = (p >> 4) - 8
@@ -228,6 +240,217 @@ def _kernel_ps_bias(x_ref, p_ref, s_ref, b_ref, o_ref, *,
     acc += jnp.dot(xhi.astype(whi.dtype), whi,
                    preferred_element_type=jnp.float32)
     o_ref[:] += acc.astype(o_ref.dtype)
+
+
+def _gi_planes_and_bd(x_ref, p_ref, k_step, block_kh, half_k, n):
+    """Shared setup for the grouped-integer (gi) kernels: unpack the nibble
+    planes as EXACT small integers in bf16 (no per-element offset or scale
+    — both fold into the per-group rescale), and expand each activation
+    plane into its [n*G, TKh] block-diagonal form so ONE MXU dot yields all
+    per-group partial sums.
+
+    Why: the f32xf math pays ~4 VPU ops per weight element (and a sublane
+    broadcast-expand of the scales) BEFORE the dot — measured 440-580 GB/s
+    against 600-950 GB/s DMA ceilings, i.e. in-kernel dequant arithmetic
+    starves the DMA (BASELINE.md r3 phase table).  Here the per-element
+    work is and/shift + int→bf16 convert only; the offset-8 correction uses
+    the per-group activation sums (y_g = s_g·(Σ x·v − 8·Σ x), exact in f32
+    because bf16 x times v ≤ 15 is exact) and the scale multiply runs on
+    the [G, TO] partials — O(K/32·O) instead of O(K·O).  The reference's
+    analogue of this dot is the per-row FML3/FMA CGRA pipe
+    (imax.c:2204-2283); the TPU-native answer is MXU integer-exact dots."""
+    G = block_kh // QK
+    p = p_ref[:].astype(jnp.int32)
+    vlo = (p & 0x0F).astype(jnp.bfloat16)  # exact: values 0..15
+    vhi = (p >> 4).astype(jnp.bfloat16)
+    xlo = x_ref[:, pl.ds(k_step * block_kh, block_kh)]
+    xhi = x_ref[:, pl.ds(half_k + k_step * block_kh, block_kh)]
+    c_grp = jax.lax.broadcasted_iota(jnp.int32, (G, block_kh), 1) // QK
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (G, block_kh), 0)
+    # 0/1 selector built in integer arithmetic — an i1 vector here trips a
+    # Mosaic relayout ("non-singleton dim replicated in destination")
+    maskf = jnp.maximum(1 - jnp.abs(c_grp - g_ids), 0).astype(
+        jnp.float32).astype(jnp.bfloat16)  # [G, TKh]
+
+    def bd(x):  # [N, TKh] -> [n*G, TKh] (static n <= 8: unrolled 2D ops)
+        rows = [maskf * x[i:i + 1, :].astype(jnp.bfloat16) for i in range(n)]
+        return rows[0] if n == 1 else jnp.concatenate(rows, axis=0)
+
+    return vlo, vhi, bd(xlo), bd(xhi), G
+
+
+def _gi_rescale(part_lo, part_hi, xs_lo, xs_hi, s_lo, s_hi, G, n, to):
+    """y[i] = Σ_g s_lo[g]·(part_lo[i·G+g] − 8·xs_lo[i·G+g]) + (hi)."""
+    outs = []
+    for i in range(n):
+        pl_i = part_lo[i * G:(i + 1) * G, :] - 8.0 * xs_lo[i * G:(i + 1) * G]
+        ph_i = part_hi[i * G:(i + 1) * G, :] - 8.0 * xs_hi[i * G:(i + 1) * G]
+        outs.append(jnp.sum(s_lo * pl_i + s_hi * ph_i, axis=0,
+                            keepdims=True))
+    return outs[0] if n == 1 else jnp.concatenate(outs, axis=0)
+
+
+def _kernel_ps_gi(x_ref, p_ref, s_ref, o_ref, *, block_kh, half_k, n):
+    """Grouped-integer plane-split kernel (decode shapes, n <= 8)."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    vlo, vhi, xbd_lo, xbd_hi, G = _gi_planes_and_bd(
+        x_ref, p_ref, k_step, block_kh, half_k, n)
+    part_lo = jnp.dot(xbd_lo, vlo, preferred_element_type=jnp.float32)
+    part_hi = jnp.dot(xbd_hi, vhi, preferred_element_type=jnp.float32)
+    xs_lo = jnp.sum(xbd_lo.astype(jnp.float32), axis=1, keepdims=True)
+    xs_hi = jnp.sum(xbd_hi.astype(jnp.float32), axis=1, keepdims=True)
+    nb2 = half_k // QK
+    s_lo = s_ref[pl.ds(k_step * G, G), :].astype(jnp.float32)
+    s_hi = s_ref[pl.ds(nb2 + k_step * G, G), :].astype(jnp.float32)
+    to = p_ref.shape[1]
+    o_ref[:] += _gi_rescale(part_lo, part_hi, xs_lo, xs_hi, s_lo, s_hi,
+                            G, n, to)
+
+
+def _kernel_ps_gi_bias(x_ref, p_ref, s_ref, b_ref, o_ref, *,
+                       block_kh, half_k, n):
+    """_kernel_ps_gi with the bias as the k==0 output init."""
+    k_step = pl.program_id(1)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.broadcast_to(
+            b_ref[:].astype(jnp.float32), o_ref.shape)
+
+    vlo, vhi, xbd_lo, xbd_hi, G = _gi_planes_and_bd(
+        x_ref, p_ref, k_step, block_kh, half_k, n)
+    part_lo = jnp.dot(xbd_lo, vlo, preferred_element_type=jnp.float32)
+    part_hi = jnp.dot(xbd_hi, vhi, preferred_element_type=jnp.float32)
+    xs_lo = jnp.sum(xbd_lo.astype(jnp.float32), axis=1, keepdims=True)
+    xs_hi = jnp.sum(xbd_hi.astype(jnp.float32), axis=1, keepdims=True)
+    nb2 = half_k // QK
+    s_lo = s_ref[pl.ds(k_step * G, G), :].astype(jnp.float32)
+    s_hi = s_ref[pl.ds(nb2 + k_step * G, G), :].astype(jnp.float32)
+    to = p_ref.shape[1]
+    o_ref[:] += _gi_rescale(part_lo, part_hi, xs_lo, xs_hi, s_lo, s_hi,
+                            G, n, to)
+
+
+def _kernel_ps_giw(x_ref, p_ref, slo_ref, shi_ref, b_ref, o_ref, *,
+                   block_kh, half_k, n, ochunk, has_bias):
+    """Grouped-integer kernel with the OUTPUT resident and a pure k-grid:
+    the packed tile is a [block_kh, O] full-width row band — ONE contiguous
+    HBM read per grid step (the 2D o×k grid's [256, bo] tiles are 256
+    strided bursts each; kernel_lab showed contiguous whole-O tiles at
+    ~900 GB/s vs ~620 strided).  The dequant+dot runs in o-chunks of
+    ``ochunk`` inside the kernel so VMEM temporaries stay bounded while the
+    DMA tile is wide.  Output [N, O] (f32, <= 512 KB at decode shapes)
+    lives in VMEM across all k steps and is written back once."""
+    k_step = pl.program_id(0)
+
+    @pl.when(k_step == 0)
+    def _():
+        if has_bias:
+            o_ref[:] = jnp.broadcast_to(
+                b_ref[:].astype(jnp.float32), o_ref.shape)
+        else:
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+    G = block_kh // QK
+    xlo = x_ref[:, pl.ds(k_step * block_kh, block_kh)]
+    xhi = x_ref[:, pl.ds(half_k + k_step * block_kh, block_kh)]
+    c_grp = jax.lax.broadcasted_iota(jnp.int32, (G, block_kh), 1) // QK
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (G, block_kh), 0)
+    maskf = jnp.maximum(1 - jnp.abs(c_grp - g_ids), 0).astype(
+        jnp.float32).astype(jnp.bfloat16)
+
+    pad = max(0, 8 - n * G)  # keep Xbd at >= 8 sublanes (G=4 tiles)
+
+    def bd(x):
+        rows = [maskf * x[i:i + 1, :].astype(jnp.bfloat16) for i in range(n)]
+        if pad:
+            rows.append(jnp.zeros((pad, block_kh), jnp.bfloat16))
+        return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+
+    xbd_lo, xbd_hi = bd(xlo), bd(xhi)
+    xs_lo = jnp.sum(xbd_lo.astype(jnp.float32), axis=1, keepdims=True)
+    xs_hi = jnp.sum(xbd_hi.astype(jnp.float32), axis=1, keepdims=True)
+    O = p_ref.shape[1]  # noqa: N806
+    for j in range(O // ochunk):
+        p = p_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.int32)
+        vlo = (p & 0x0F).astype(jnp.bfloat16)
+        vhi = (p >> 4).astype(jnp.bfloat16)
+        part_lo = jnp.dot(xbd_lo, vlo, preferred_element_type=jnp.float32)
+        part_hi = jnp.dot(xbd_hi, vhi, preferred_element_type=jnp.float32)
+        s_lo = slo_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.float32)
+        s_hi = shi_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.float32)
+        o_ref[:, pl.ds(j * ochunk, ochunk)] += _gi_rescale(
+            part_lo[:n * G], part_hi[:n * G], xs_lo[:n * G], xs_hi[:n * G],
+            s_lo, s_hi, G, n, ochunk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_kh", "ochunk", "interpret", "has_bias"),
+)
+def _pallas_q4_matmul_ps_giw(
+    x: jnp.ndarray,  # [N, K] raw activations, N <= 8
+    packed: jnp.ndarray,  # [K/2, O] uint8, plane-split
+    scales: jnp.ndarray,  # [K/32(+pad), O]
+    bias,  # [1, O] f32 or None
+    *,
+    block_kh: int,
+    ochunk: int,
+    interpret: bool,
+    has_bias: bool,
+) -> jnp.ndarray:
+    N, K = x.shape
+    half_k = K // 2
+    O = packed.shape[1]
+    G = block_kh // QK
+    nb2 = half_k // QK  # hi plane's first scale row
+    grid = (half_k // block_kh,)
+
+    in_specs = [
+        pl.BlockSpec((N, K), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_kh, O), lambda k: (k, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, O), lambda k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, O), lambda k, nb2=nb2, G=G: (nb2 // G + k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x, packed, scales, scales]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, O), lambda k: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias)
+    else:  # keep the kernel signature static: pass scales as a dummy
+        in_specs.append(pl.BlockSpec((1, O), lambda k: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.zeros((1, O), jnp.float32))
+
+    vmem_mb = int(os.environ.get("VSIM_GIW_VMEM_MB", "0"))
+    cp = (pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                               vmem_limit_bytes=vmem_mb << 20)
+          if vmem_mb else
+          pltpu.CompilerParams(dimension_semantics=("arbitrary",)))
+    return pl.pallas_call(
+        functools.partial(_kernel_ps_giw, block_kh=block_kh, half_k=half_k,
+                          n=N, ochunk=ochunk, has_bias=has_bias),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((N, O), lambda k: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, O), jnp.float32),
+        compiler_params=cp,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K * O,
+            bytes_accessed=packed.size + scales.size * scales.dtype.itemsize
+            + x.size * x.dtype.itemsize + N * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
 
 
 def _kernel_ps(x_ref, p_ref, s_ref, o_ref, *, acc_dtype, math,
@@ -289,14 +512,25 @@ def _pallas_q4_matmul_ps_2d(
                      memory_space=pltpu.VMEM),
     ]
     operands = [x, packed, scales]
+    gi = math == "gi" and N <= 8
     if has_bias:
         in_specs.append(pl.BlockSpec((1, block_o), lambda i, k: (0, i),
                                      memory_space=pltpu.VMEM))
         operands.append(bias)
-        kern = functools.partial(_kernel_ps_bias, acc_dtype=acc_dtype,
-                                 math=math, block_kh=block_kh, half_k=half_k)
+        if gi:
+            kern = functools.partial(_kernel_ps_gi_bias, block_kh=block_kh,
+                                     half_k=half_k, n=N)
+        else:
+            kern = functools.partial(
+                _kernel_ps_bias, acc_dtype=acc_dtype,
+                math="f32xf" if math == "gi" else math,
+                block_kh=block_kh, half_k=half_k)
+    elif gi:
+        kern = functools.partial(_kernel_ps_gi, block_kh=block_kh,
+                                 half_k=half_k, n=N)
     else:
-        kern = functools.partial(_kernel_ps, acc_dtype=acc_dtype, math=math,
+        kern = functools.partial(_kernel_ps, acc_dtype=acc_dtype,
+                                 math="f32xf" if math == "gi" else math,
                                  block_kh=block_kh, half_k=half_k)
 
     cp = (pltpu.CompilerParams(
@@ -340,7 +574,32 @@ def pallas_q4_matmul_ps(
     n = 1
     for d in lead:
         n *= d
-    block_o, block_kh = _pick_blocks(K // 2, O, max(n, 8))
+    gi_ok = _DEQUANT_MATH == "gi" and n <= 8 and (K // 2) % 256 == 0
+    if gi_ok and 256 * O <= (4 << 20) and O % 128 == 0:
+        # contiguous whole-O row bands (one DMA per grid step); the lm head
+        # (O ~ 51200 > 16384) exceeds the 4 MB tile cap and takes the 2D
+        # wide-divisor geometry below instead
+        ochunk = 2048
+        while O % ochunk:
+            ochunk //= 2
+        if bias is not None and bias.shape[-1] != O:
+            bias = jnp.pad(bias, (0, O - bias.shape[-1]))
+        bkh = int(os.environ.get("VSIM_GIW_BKH", "256"))
+        if (K // 2) % bkh:
+            bkh = 256
+        y = _pallas_q4_matmul_ps_giw(
+            x.reshape(n, K), w.packed, w.scales,
+            None if bias is None
+            else bias.astype(jnp.float32).reshape(1, O),
+            block_kh=bkh, ochunk=ochunk, interpret=interpret,
+            has_bias=bias is not None,
+        )
+        return y.reshape(*lead, O)
+    blocks = _pick_blocks_gi(K // 2, O) if gi_ok else None
+    if blocks is not None:
+        block_o, block_kh = blocks
+    else:
+        block_o, block_kh = _pick_blocks(K // 2, O, max(n, 8))
     if block_kh % QK:  # ps scale rows need 32-row groups
         block_kh = max(QK, block_kh - block_kh % QK)
     if os.environ.get("VSIM_PS_BIG_TILES"):  # A/B: 2M-element tiles +
@@ -574,6 +833,27 @@ def pallas_q4_mlp_ps(
         math=_DEQUANT_MATH,
     )
     return y.reshape(*lead, E)
+
+
+def _pick_blocks_gi(half_k: int, O: int) -> Tuple[int, int]:
+    """Geometry for the grouped-integer decode kernels (n <= 8).  Measured
+    on the 4096x4096 B=1 shape (kernel_lab 2026-08-21): (4096, 256) streams
+    934 GB/s — at the DMA ceiling — while (2048, 512) runs 385; short-K
+    tiles keep the per-tile dequant latency low and WIDE o tiles make the
+    DMA-minor bursts long.  block_o: largest divisor of O within ~1.25x of
+    the 1M-element tile area (the slack admits 4608 for the padded 50688
+    lm head instead of collapsing to 512-byte bursts)."""
+    block_kh = 256  # caller guarantees half_k % 256 == 0
+    cap = ((1 << 20) // block_kh) * 5 // 4
+    best = 0
+    d = 128  # lane-aligned divisors only (Mosaic: minor block % 128)
+    while d <= min(O, cap):
+        if O % d == 0 and d > best:
+            best = d
+        d += 128
+    if best < 1024:  # no wide aligned divisor (e.g. O = 256*197): the
+        return None  # wide-burst geometry doesn't exist — caller falls back
+    return best, block_kh
 
 
 def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
