@@ -110,8 +110,9 @@ def main() -> int:
     # (one fetch each) and difference them — the constant cancels.
     kwargs = dict(top_k=1, top_p=1.0, temperature=1.0, repeat_penalty=1.0,
                   greedy=True)
-    n_long = max(args.tokens, 64)
     n_short = args.decode_chunk  # == engine.decode_chunk → shares its compiled executable
+    n_long = max(args.tokens, 2 * n_short)  # must exceed n_short (the
+    # differenced pair divides by n_long - n_short)
 
     def timed_loop(B, n_steps, reps=3):
         times = []
@@ -131,10 +132,14 @@ def main() -> int:
             # force prefill completion with a value fetch before timing
             int(tok[0])
             t1 = time.perf_counter()
+            # SAME kv bucket for the short and long loops: the pair is
+            # differenced, so per-step work must be identical (a longer
+            # --tokens must not silently move the long loop into the next
+            # attention bucket and pollute the steady-state rate)
             toks, cache, last, key = engine._decode_many(
                 engine.params, tok, cache, len(prompt), last, key,
                 n_steps=n_steps,
-                kv_len=engine.kv_bucket(len(prompt) + n_steps + 1), **kwargs,
+                kv_len=engine.kv_bucket(len(prompt) + n_short + 1), **kwargs,
             )
             int(toks[-1, 0])  # fetch → true completion barrier
             times.append(time.perf_counter() - t1)

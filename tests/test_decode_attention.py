@@ -127,6 +127,121 @@ def test_kernel_ragged_n_past():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("kv_dtype", ["int8", "int4"])
+def test_kernel_fresh_rows_deferred_write(kv_dtype):
+    """Deferred-write mode: attending {cache rows < n_past} + the fresh
+    quantized token in-kernel must equal write-then-attend, and the
+    post-hoc all-layer scatter must produce the identical cache (the r4
+    serving-gap fix: 56 ragged scatters -> 1)."""
+    from vsim_tpu.models.transformer import (
+        _kv_apply_deferred, _kv_quantize, _kv_quantize4, _is_packed4)
+
+    L, B, H, S, D = 2, 3, 2, 256, 256
+    k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=100, kv_dtype=kv_dtype)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    n_past = jnp.asarray([3, 57, 99], jnp.int32)
+
+    # oracle: per-layer ragged writes, then attend with mask <= n_past
+    k_ref, v_ref = k_all, v_all
+    for il in range(L):
+        k_ref = _kv_write(k_ref, k_new, jnp.int32(il), n_past, True, B, 1)
+        v_ref = _kv_write(v_ref, v_new, jnp.int32(il), n_past, True, B, 1)
+    refs = [decode_attention_oracle(q, k_ref, v_ref, il, n_past, kv_len=S,
+                                    scale=D ** -0.5) for il in range(L)]
+
+    # deferred: quantize once, kernel merges the fresh rows, one scatter
+    quant = _kv_quantize4 if _is_packed4(k_all) else _kv_quantize
+    sdt = k_all[1].dtype
+    knq, kns = quant(jnp.swapaxes(k_new, 1, 2), sdt)
+    vnq, vns = quant(jnp.swapaxes(v_new, 1, 2), sdt)
+    rows = (knq[:, :, 0], kns[:, :, 0], vnq[:, :, 0], vns[:, :, 0])
+    for il in range(L):
+        got = decode_attention_int8(
+            q, k_all, v_all, jnp.int32(il), n_past, kv_len=S,
+            scale=D ** -0.5, interpret=True, fresh_rows=rows)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(refs[il]),
+                                   rtol=2e-2, atol=2e-2)
+    kq_l = jnp.stack([rows[0]] * L)
+    ks_l = jnp.stack([rows[1]] * L)
+    vq_l = jnp.stack([rows[2]] * L)
+    vs_l = jnp.stack([rows[3]] * L)
+    k_got = _kv_apply_deferred(k_all, kq_l, ks_l, n_past)
+    v_got = _kv_apply_deferred(v_all, vq_l, vs_l, n_past)
+    for a, b in ((k_got, k_ref), (v_got, v_ref)):
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    # the production path: aliased pallas writer kernel (in-place on TPU;
+    # the wrapper donates its cache args, so pass copies here)
+    from vsim_tpu.ops.decode_attention import scatter_rows_inplace
+
+    ref_k_np = (np.asarray(k_ref[0]), np.asarray(k_ref[1]))
+    ref_v_np = (np.asarray(v_ref[0]), np.asarray(v_ref[1]))
+    cp = lambda t: (jnp.array(t[0]), jnp.array(t[1]))  # noqa: E731
+    k_got2, v_got2 = scatter_rows_inplace(
+        cp(k_all), cp(v_all), (kq_l, ks_l, vq_l, vs_l), n_past,
+        interpret=True)
+    for a, b in ((k_got2, ref_k_np), (v_got2, ref_v_np)):
+        np.testing.assert_array_equal(np.asarray(a[0]), b[0])
+        np.testing.assert_array_equal(np.asarray(a[1]), b[1])
+    # sentinel slots (n_past >= S) must write nothing
+    k_s3, v_s3 = scatter_rows_inplace(
+        cp(k_ref), cp(v_ref), (kq_l, ks_l, vq_l, vs_l),
+        jnp.full((B,), S, jnp.int32), interpret=True)
+    for a, b in ((k_s3, ref_k_np), (v_s3, ref_v_np)):
+        np.testing.assert_array_equal(np.asarray(a[0]), b[0])
+        np.testing.assert_array_equal(np.asarray(a[1]), b[1])
+
+
+def test_forward_ragged_deferred_matches_einsum():
+    """Full ragged serving forward: kernel-on (deferred writes) must match
+    kernel-off (einsum, per-layer writes) — logits AND updated cache."""
+    from vsim_tpu.models.config import ModelConfig
+    from vsim_tpu.models.init import init_params
+    from vsim_tpu.models.transformer import forward, init_cache
+
+    cfg = ModelConfig(arch="gptneox", n_vocab=64, n_ctx=256, n_embd=512,
+                      n_head=2, n_layer=2, n_ff=256, n_rot=32,
+                      kv_dtype="int8")
+    params = init_params(cfg, seed=0, quantize=False)
+    tok = jnp.asarray([5, 9, 11], jnp.int32)
+    n_past = jnp.asarray([3, 57, 99], jnp.int32)
+
+    def run():
+        cache = init_cache(cfg, 3)
+        # fill some history so the ragged mask matters
+        ids0 = jnp.asarray([[1, 2, 3, 4]] * 3, jnp.int32)
+        _, cache = forward(cfg, params, ids0, cache, 0, kv_len=128,
+                           fresh_kv=True)
+        logits, cache = forward(cfg, params, tok[:, None], cache, n_past,
+                                kv_len=128)
+        return np.asarray(logits), cache
+
+    set_decode_kernel("off")
+    try:
+        ref, cache_ref = run()
+    finally:
+        set_decode_kernel("on")
+    try:
+        got, cache_got = run()
+    finally:
+        set_decode_kernel("auto")
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    # caches agree to quantization tolerance (later layers' inputs differ
+    # at kernel-vs-einsum bf16 noise level, so rows can differ by an LSB)
+    from vsim_tpu.models.transformer import _kv_read
+
+    for side in ("k", "v"):
+        for il in range(cfg.n_layer):
+            a = np.asarray(_kv_read(cache_got[side], jnp.int32(il), None,
+                                    jnp.float32))
+            b = np.asarray(_kv_read(cache_ref[side], jnp.int32(il), None,
+                                    jnp.float32))
+            np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2)
+
+
 def test_kernel_kv_len_bucket():
     """kv_len < S must slice the attended prefix like the einsum path."""
     L, B, H, S, D = 1, 1, 2, 256, 128

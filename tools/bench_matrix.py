@@ -37,6 +37,13 @@ CONFIGS = [
                                         "32", "--tokens", "64"]},
     {"name": "gpt-j-6b-b64", "args": ["--model", "gpt-j-6b", "--batch",
                                       "64", "--tokens", "64"]},
+    # the quality-clean aggregate configuration: int8 KV is ppl-free
+    # (PPL.json: +0.02%) where the int4-KV headline carries +2.0%; B=128
+    # int8 KV (15 GB) does not fit next to 3.4 GB weights on a 16 GB chip,
+    # so the clean headline batch is 64
+    {"name": "gpt-j-6b-b64-int8kv", "args": ["--model", "gpt-j-6b",
+                                             "--batch", "64", "--kv",
+                                             "int8", "--tokens", "64"]},
     # 12B INT4 = 6.8 GB weights; B=32 int8 KV at 512 ctx = 7.5 GB
     {"name": "pythia-12b-b16", "args": ["--model", "pythia-12b", "--batch",
                                         "16", "--tokens", "64"]},

@@ -158,7 +158,10 @@ def main() -> int:
         from vsim_tpu.models.init import random_q4_params
 
         params_cpu = random_q4_params(cfg, seed=0)
-        for T in (1024, 2048):
+        # the full sweep locates the einsum->flash crossover so the
+        # production threshold (models/transformer.py:attention) is set
+        # from measurement, not guessed (VERDICT r3 weak #8)
+        for T in (128, 256, 512, 1024, 2048):
             row = {}
             for name, fl in (("einsum", False), ("flash", True)):
                 t = model_prefill(cfg, params_cpu, T, fl)

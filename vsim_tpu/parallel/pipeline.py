@@ -112,7 +112,7 @@ def pipeline_forward_nocache(
 
         def apply_stage(x):
             def body(h, lp):
-                h, _, _ = decoder_layer(
+                h, _, _, _ = decoder_layer(
                     cfg, lp, h, None, None, jnp.int32(0), positions, n_past,
                     slopes)
                 return h, None
