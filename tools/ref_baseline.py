@@ -321,6 +321,13 @@ def main() -> int:
         result["ppl_ours_same_windows"] = ours_nll(args.ckpt, windows)
         print(f"  {result['ppl_ours_same_windows']}", flush=True)
 
+    # preserve rows other tools contribute (e.g. the flagship-scale 12B
+    # perf row from tools/ref_baseline_12b.py)
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        for k, v in old.get("perf", {}).items():
+            result.setdefault("perf", {}).setdefault(k, v)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {args.out}")

@@ -53,6 +53,11 @@ def main() -> int:
                     help="fixed inter-arrival spacing; 0 = all requests "
                     "submitted upfront (TTFT then measures wave admission, "
                     "not service latency)")
+    ap.add_argument("--ckpt", default=None,
+                    help="trained dense checkpoint dir (tools/train_small "
+                    "format): quantize and serve REAL weights — the "
+                    "speculative-acceptance measurement needs a model that "
+                    "actually continues patterns (random weights cannot)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on the virtual CPU device mesh (scaling-shape "
                     "check without claiming the TPU tunnel; set XLA_FLAGS="
@@ -71,9 +76,20 @@ def main() -> int:
     from vsim_tpu.engine.serving import ServingEngine
     from vsim_tpu.models.init import random_q4_params
 
-    cfg = PRESETS[args.model].replace(
-        n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype=args.kv)
-    params = jax.device_put(random_q4_params(cfg, seed=0))
+    if args.ckpt:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from train_small import quantize_params
+        from vsim_tpu.convert.store import load_params
+
+        cfg, dense = load_params(args.ckpt)
+        cfg = cfg.replace(n_ctx=args.n_ctx, compute_dtype="bfloat16",
+                          kv_dtype=args.kv)
+        params = jax.device_put(quantize_params(dense))
+        del dense
+    else:
+        cfg = PRESETS[args.model].replace(
+            n_ctx=args.n_ctx, compute_dtype="bfloat16", kv_dtype=args.kv)
+        params = jax.device_put(random_q4_params(cfg, seed=0))
 
     mesh = None
     if args.tp > 1:
@@ -82,7 +98,18 @@ def main() -> int:
         mesh = make_mesh((1, args.tp), devices=jax.devices()[: args.tp])
 
     rng = np.random.default_rng(args.seed)
-    if args.prompt_style == "repeat":
+    if args.prompt_style == "repeat" and args.ckpt:
+        # the trained model is a byte-level LM over Python source: repeat
+        # real code idioms so acceptance measures what prompt-lookup
+        # delivers when the TARGET actually continues patterns (LM
+        # induction) — random byte n-grams cannot show that
+        phrases = [b"for i in range(10):\n    print(i)\n",
+                   b"    def get(self, key):\n        return self.key\n",
+                   b"x = x + 1\nx = x + 1\nx = x + 1\n",
+                   b"import os\nimport sys\nimport os\nimport sys\n"]
+        prompts = [list((phrases[i % len(phrases)] * 6)[:120])
+                   for i in range(args.requests)]
+    elif args.prompt_style == "repeat":
         # repetitive prompts (code/extractive workloads): the regime where
         # prompt-lookup drafting accepts — random-token prompts have no
         # recurring n-grams and spec serving measurably loses there

@@ -332,10 +332,17 @@ class InferenceEngine:
                 # drain+dispatch boundary (fetch RTT + enqueue RTT)
                 while (not stopped and n_dispatched < n_predict
                        and (self.n_ctx - 1 - n_past) > 0 and len(pending) < 3):
-                    # always run a full chunk when there's room (extra
-                    # tokens are discarded) — keeps n_steps static so each
-                    # chunk size compiles exactly once
-                    n_steps = min(self.decode_chunk, self.n_ctx - 1 - n_past)
+                    # chunk size: smallest power of two >= the remaining
+                    # budget, capped at decode_chunk — a 20-token request
+                    # must not compute a full 96-step chunk, while the size
+                    # set stays small ({16, 32, 64, ..., decode_chunk}) so
+                    # each size compiles exactly once
+                    c = 16
+                    while (c < n_predict - n_dispatched
+                           and c < self.decode_chunk):
+                        c *= 2
+                    n_steps = min(c, self.decode_chunk,
+                                  self.n_ctx - 1 - n_past)
                     toks, cache, last_tokens, key = self._decode_many(
                         self.params, tok, cache, n_past, last_tokens, key,
                         n_steps=n_steps,

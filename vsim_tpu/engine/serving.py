@@ -340,6 +340,12 @@ class ServingEngine:
                 n_steps=chunk_steps, top_k=sp.top_k, top_p=sp.top_p,
                 temperature=sp.temperature, repeat_penalty=sp.repeat_penalty,
                 greedy=sp.greedy, kv_len=kv_len)
+            if self.drafter is not None:  # all-inactive spec step: the
+                # sentinel n_past drops every write, state unchanged
+                (self.cache, self.tokens, self.n_past, self.history,
+                 _, _) = self._spec_step_fn(
+                    self.params, self.cache, self.tokens, self.n_past,
+                    self.history, inactive, kv_len=kv_len)
         jax.block_until_ready(self.tokens)
         return time.perf_counter() - t0
 

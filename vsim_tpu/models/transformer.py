@@ -301,9 +301,11 @@ def attention(
     scale = 1.0 / math.sqrt(D)
 
     # blockwise (flash) attention for prefill-shaped steps: never
-    # materializes [B, H, T, S] (ops/attention.py).  Ragged decode and short
-    # chunks keep the einsum path (tiny T gains nothing from tiling).
-    if cfg.use_flash and not ragged and T >= 64 and S % 128 == 0:
+    # materializes [B, H, T, S] (ops/attention.py).  Threshold from the
+    # measured full-model crossover (FLASH_BENCH r4: einsum edges flash 1%
+    # at T=128, tie at 256, flash ahead from 512 and 4.5x on the attention
+    # stack at 2048); ragged decode and short chunks keep the einsum path.
+    if cfg.use_flash and not ragged and T >= 256 and S % 128 == 0:
         from vsim_tpu.ops.attention import flash_attention
 
         interp = jax.default_backend() != "tpu"
