@@ -99,8 +99,13 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         ks = ks_ref[0, 0].astype(jnp.float32)  # [H, ts]
         # dequant fused: scores[h, s] = scale * sum_d q[h,d] * kq[h,s,d]*ks
         # (scale the [H, ts] dot output by ks instead of the [H, ts, D]
-        # operand — D× fewer multiplies)
-        s = jnp.sum(q[:, None, :] * kq, axis=-1) * ks * scale  # [H, ts]
+        # operand — D× fewer multiplies).  The contraction runs on the MXU
+        # as an H-batched matvec: the VPU mul+reduce form was the B=128
+        # decode wall (kernel measured 168 GB/s ≈ 7 VPU ops per KV element;
+        # r4) — the MXU does the 2 ops/elem of the dot for free.
+        s = jax.lax.dot_general(
+            q[:, None, :], kq, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :] * ks * scale
 
         H = s.shape[0]  # noqa: N806
         s_idx = j * ts + jax.lax.broadcasted_iota(jnp.int32, (H, ts), 1)
@@ -128,7 +133,9 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         vq = (_unpack4(vq_ref[0, 0]) if packed4
               else vq_ref[0, 0].astype(jnp.float32))  # [H, ts, D]
         vs = vs_ref[0, 0].astype(jnp.float32)  # [H, ts]
-        pv = jnp.sum((p * vs)[:, :, None] * vq, axis=1)  # [H, D]
+        pv = jax.lax.dot_general(
+            (p * vs)[:, None, :], vq, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]  # [H, D]
         acc_ref[:] = acc_ref[:] * alpha + pv
 
     # skip tiles fully beyond this sequence's horizon

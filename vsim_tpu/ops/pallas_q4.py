@@ -513,6 +513,11 @@ def _pallas_q4_matmul_ps_2d(
     ]
     operands = [x, packed, scales]
     gi = math == "gi" and N <= 8
+    if math == "gi":
+        # gi fallback for batch shapes: f32x (bf16 planes) — the wide-o
+        # short-K batch geometry needs the smaller dequant temporaries,
+        # and at n > 8 the MXU prefers bf16 operands anyway
+        math = "f32x" if N > 8 else "f32xf"
     if has_bias:
         in_specs.append(pl.BlockSpec((1, block_o), lambda i, k: (0, i),
                                      memory_space=pltpu.VMEM))
@@ -522,15 +527,13 @@ def _pallas_q4_matmul_ps_2d(
                                      half_k=half_k, n=N)
         else:
             kern = functools.partial(
-                _kernel_ps_bias, acc_dtype=acc_dtype,
-                math="f32xf" if math == "gi" else math,
+                _kernel_ps_bias, acc_dtype=acc_dtype, math=math,
                 block_kh=block_kh, half_k=half_k)
     elif gi:
         kern = functools.partial(_kernel_ps_gi, block_kh=block_kh,
                                  half_k=half_k, n=N)
     else:
-        kern = functools.partial(_kernel_ps, acc_dtype=acc_dtype,
-                                 math="f32xf" if math == "gi" else math,
+        kern = functools.partial(_kernel_ps, acc_dtype=acc_dtype, math=math,
                                  block_kh=block_kh, half_k=half_k)
 
     cp = (pltpu.CompilerParams(
@@ -894,6 +897,16 @@ def _pick_blocks(half_k: int, O: int, n: int) -> Tuple[int, int]:
         while block_kh * 2 <= cap and half_k % (block_kh * 2) == 0:
             block_kh *= 2
         return block_o, block_kh
+    if n <= 128 and half_k % 256 == 0 and O % 1024 == 0:
+        # batch decode (serving steps, B<=128): wide-o short-K tiles like
+        # the gi geometry — the old tall [2048, 256] tiles issued 256-byte
+        # strided bursts (~300 GB/s measured on the B=128 q4 groups, r4).
+        # x stays resident ([128, K] bf16 <= 4 MB) so the k-grid re-streams
+        # nothing; bf16 planes keep the dequant temporaries in budget.
+        block_o = 2048
+        while O % block_o:
+            block_o //= 2
+        return block_o, 256
     kh_cap = 2048
     block_kh = min(half_k, kh_cap)
     while half_k % block_kh:
