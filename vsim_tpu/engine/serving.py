@@ -105,7 +105,9 @@ class ServingEngine:
         if cfg.fuse_qkv:
             from vsim_tpu.models.init import fuse_qkv_params
 
-            params = fuse_qkv_params(cfg, params)
+            # consume: free each wq/wk/wv as it is fused — 12B models OOM a
+            # 16 GB chip with both the fused and unfused qkv alive
+            params = fuse_qkv_params(cfg, params, consume=consume_params)
         self.mesh = mesh
         if mesh is not None:
             from vsim_tpu.parallel.sharding import shard_params
