@@ -57,6 +57,21 @@ def _kv_bucket(needed: int, n_ctx: int) -> int:
         b *= 2
     return min(n_ctx, b)
 
+def _pad_stop_ids(ids, width: int = 4) -> jnp.ndarray:
+    """Stop-id vector padded to a fixed width with the -1 sentinel so the
+    chunk-step executable keeps ONE static shape regardless of how many
+    stop tokens the active requests share — warmup pre-built stop_ids of
+    shape [1] while real workloads with >= 2 shared stops recompiled on the
+    serving path (ADVICE r4).  Workloads with > width shared stops widen to
+    the next multiple (a new shape, but host-side _emit still honors every
+    stop id either way)."""
+    ids = [int(t) for t in ids]
+    w = width
+    while w < len(ids):
+        w *= 2
+    return jnp.asarray(ids + [-1] * (w - len(ids)), jnp.int32)
+
+
 _STEP_STATIC = ("top_k", "top_p", "temperature", "repeat_penalty", "greedy")
 
 
@@ -305,8 +320,11 @@ class ServingEngine:
             pos = jnp.zeros((self.max_batch,), jnp.int32)
             self.cache, sel = self._prefill_batch(
                 self.params, self.cache, ids, npv, rows, pos, kv_len=T)
-            # the admission sample (one static [max_batch, V] shape)
-            self.key, sub = jax.random.split(self.key)
+            # the admission sample (one static [max_batch, V] shape).
+            # Throwaway key: advancing self.key here would make a warmed
+            # engine's non-greedy sample stream differ from an unwarmed one
+            # built with the same seed (ADVICE r4).
+            sub = jax.random.PRNGKey(0)
             sample_jax(sel, jnp.full((self.max_batch, self.repeat_window),
                                      -1, jnp.int32), sub,
                        top_k=sp.top_k, top_p=sp.top_p,
@@ -338,7 +356,7 @@ class ServingEngine:
                 self.params, self.cache, self.tokens, self.n_past,
                 self.last_tokens, self.key, inactive,
                 jnp.zeros((self.max_batch,), jnp.int32),
-                jnp.asarray([-1], jnp.int32),
+                _pad_stop_ids([]),
                 n_steps=chunk_steps, top_k=sp.top_k, top_p=sp.top_p,
                 temperature=sp.temperature, repeat_penalty=sp.repeat_penalty,
                 greedy=sp.greedy, kv_len=kv_len)
@@ -581,7 +599,6 @@ class ServingEngine:
                               len(req.prompt_ids) + len(req.generated))
                 stop_common = (set(req.stop_tokens) if stop_common is None
                                else stop_common & set(req.stop_tokens))
-            stop_ids = sorted(stop_common or {-1}) or [-1]
             kv_len = _kv_bucket(longest + n_steps + 1, self.n_ctx)
             sp = self.sampling
             (self.cache, self.tokens, self.n_past, self.last_tokens,
@@ -589,7 +606,7 @@ class ServingEngine:
                 self.params, self.cache, self.tokens, self.n_past,
                 self.last_tokens, self.key, jnp.asarray(active),
                 jnp.asarray(remaining),
-                jnp.asarray(stop_ids, jnp.int32),
+                _pad_stop_ids(sorted(stop_common or ())),
                 n_steps=n_steps, top_k=sp.top_k, top_p=sp.top_p,
                 temperature=sp.temperature, repeat_penalty=sp.repeat_penalty,
                 greedy=sp.greedy, kv_len=kv_len)

@@ -512,12 +512,13 @@ def _pallas_q4_matmul_ps_2d(
                      memory_space=pltpu.VMEM),
     ]
     operands = [x, packed, scales]
-    gi = math == "gi" and N <= 8
+    gi = math == "gi" and N <= 8 and x.dtype == jnp.bfloat16
     if math == "gi":
         # gi fallback for batch shapes: f32x (bf16 planes) — the wide-o
         # short-K batch geometry needs the smaller dequant temporaries,
-        # and at n > 8 the MXU prefers bf16 operands anyway
-        math = "f32x" if N > 8 else "f32xf"
+        # and at n > 8 the MXU prefers bf16 operands anyway.  f32
+        # activations (full-f32 parity mode) keep f32 planes (ADVICE r4).
+        math = ("f32x" if N > 8 and x.dtype == jnp.bfloat16 else "f32xf")
     if has_bias:
         in_specs.append(pl.BlockSpec((1, block_o), lambda i, k: (0, i),
                                      memory_space=pltpu.VMEM))
@@ -577,7 +578,12 @@ def pallas_q4_matmul_ps(
     n = 1
     for d in lead:
         n *= d
-    gi_ok = _DEQUANT_MATH == "gi" and n <= 8 and (K // 2) % 256 == 0
+    # gi rounds activations to bf16 inside the kernel, so it only engages
+    # when the caller's activations already ARE bf16 — f32 compute_dtype
+    # (the documented full-f32 parity mode) keeps the f32xf math end to end
+    # (ADVICE r4)
+    gi_ok = (_DEQUANT_MATH == "gi" and n <= 8 and (K // 2) % 256 == 0
+             and x.dtype == jnp.bfloat16)
     if gi_ok and 256 * O <= (4 << 20) and O % 128 == 0:
         # contiguous whole-O row bands (one DMA per grid step); the lm head
         # (O ~ 51200 > 16384) exceeds the 4 MB tile cap and takes the 2D
