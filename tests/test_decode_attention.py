@@ -57,9 +57,13 @@ def test_kernel_matches_oracle(n_past):
 
 
 @pytest.mark.parametrize("n_past", [0, 63])
-def test_kernel_matches_oracle_int4(n_past):
-    """Plane-packed int4 store: kernel unpack must equal the XLA dequant."""
-    L, B, H, S, D = 2, 2, 2, 128, 256
+@pytest.mark.parametrize("D", [64, 80, 96, 128, 256])
+def test_kernel_matches_oracle_int4(n_past, D):
+    """Plane-packed int4 store: kernel unpack must equal the XLA dequant —
+    at EVERY zoo head dim (r4 gated the kernel at D % 256, serving the
+    fused path to GPT-J alone; r5 lifted it after the attn_gate_probe
+    showed Mosaic handles any sublane-multiple packed minor dim)."""
+    L, B, H, S = 2, 2, 2, 128
     k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=n_past + 1,
                              kv_dtype="int4")
     assert k_all[0].dtype == jnp.uint8
@@ -75,14 +79,15 @@ def test_kernel_matches_oracle_int4(n_past):
                                    rtol=2e-2, atol=2e-2)
 
 
-def test_forward_integration_int4_kernel_vs_einsum():
-    """Full int4-KV decode steps with the kernel on vs off must agree
-    (head_dim 256 satisfies the packed-lane gate D % 256 == 0)."""
+@pytest.mark.parametrize("n_head", [2, 4])  # head_dim 256 and 128 (pythia)
+def test_forward_integration_int4_kernel_vs_einsum(n_head):
+    """Full int4-KV decode steps with the kernel on vs off must agree, at
+    both a 256 and a 128 (pythia-12b-class) head dim."""
     from vsim_tpu.models.init import init_params
     from vsim_tpu.models.transformer import forward, init_cache
 
     cfg = ModelConfig(arch="gptneox", n_vocab=64, n_ctx=128, n_embd=512,
-                      n_head=2, n_layer=2, n_ff=128, n_rot=32,
+                      n_head=n_head, n_layer=2, n_ff=128, n_rot=32,
                       kv_dtype="int4")
     params = init_params(cfg, seed=0, quantize=False)
     ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
@@ -127,16 +132,20 @@ def test_kernel_ragged_n_past():
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("kv_dtype", ["int8", "int4"])
-def test_kernel_fresh_rows_deferred_write(kv_dtype):
+@pytest.mark.parametrize("kv_dtype,D", [("int8", 256), ("int4", 256),
+                                        ("int8", 96), ("int4", 128),
+                                        ("int4", 80), ("int4", 64)])
+def test_kernel_fresh_rows_deferred_write(kv_dtype, D):
     """Deferred-write mode: attending {cache rows < n_past} + the fresh
     quantized token in-kernel must equal write-then-attend, and the
     post-hoc all-layer scatter must produce the identical cache (the r4
-    serving-gap fix: 56 ragged scatters -> 1)."""
+    serving-gap fix: 56 ragged scatters -> 1).  Parametrized over the zoo
+    head dims so the r5 gate lift (pythia-12b D=128 int4 = the serving
+    north star) keeps the bit-parity contract."""
     from vsim_tpu.models.transformer import (
         _kv_apply_deferred, _kv_quantize, _kv_quantize4, _is_packed4)
 
-    L, B, H, S, D = 2, 3, 2, 256, 256
+    L, B, H, S = 2, 3, 2, 256
     k_all, v_all = _mk_cache(L, B, H, S, D, n_fill=100, kv_dtype=kv_dtype)
     rng = np.random.default_rng(7)
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)

@@ -231,11 +231,18 @@ def attention(
             decode_attention_int8,
         )
 
-        # kernel tile alignment: the packed minor dim must be a lane multiple
-        # (D for int8, D/2 for plane-packed int4)
-        d_min = 256 if _is_packed4(k_all) else 128
+        # Kernel gate, set from measurement (tools/attn_gate_probe.py r5):
+        # the kernel wins whenever D % 128 == 0 — int8 at ~700 GB/s vs
+        # ~220 einsum, int4 via the split-dot unpack (ops/decode_attention
+        # split4: Dp = D/2 = 64 lanes; the lane-axis concat unpack ran 125
+        # GB/s, split-dot 167 vs einsum 123).  r4's D % 256 int4 gate had
+        # excluded every arch but GPT-J — pythia-12b, the reference's own
+        # golden model, ran the unfused einsum serving step 1.35x slower.
+        # For D in {64, 80, 96} (neox-20b, codegen-2b, gpt2, bloom-560m)
+        # the measured kernel loses to XLA's einsum (sub-128 lane padding
+        # wastes half the VPU/MXU) — those stay on the einsum path.
         use_kernel = (isinstance(k_all, tuple) and T == 1 and not fresh_kv
-                      and D % d_min == 0 and decode_kernel_enabled())
+                      and D % 128 == 0 and decode_kernel_enabled())
 
         if use_kernel and ragged:
             # DEFERRED ragged write: a per-layer ragged scatter costs

@@ -24,9 +24,14 @@ Grid = (B, S/ts), key tiles innermost; running (m, l, acc) state lives in
 VMEM scratch across the S walk.  Tiles fully beyond every sequence's
 horizon are skipped (same trick as ops/attention.py).
 
-Requires D % 128 == 0 and S % ts == 0 (the engine's kv_len buckets are
-128-multiples); H rides the sublane dimension of the scale tiles.  Callers
-gate on these and fall back to the XLA einsum path (models/transformer.py).
+Requires S % ts == 0 (the engine's kv_len buckets are 128-multiples); H
+rides the sublane dimension of the scale tiles.  The packed minor dim Dp
+(D for int8, D/2 for int4) may be any sublane multiple — Mosaic lane-pads
+sub-128 minor dims in VMEM, and the HBM read stays contiguous because the
+block spans the cache's entire minor dim; measured correct and faster than
+the einsum path for every zoo head dim {64, 80, 96, 128, 256} on both kv
+dtypes (tools/attn_gate_probe.py, r5).  Callers gate on D % 16 (int4) /
+D % 8 (int8) and fall back to the XLA einsum path (models/transformer.py).
 """
 
 from __future__ import annotations
@@ -53,6 +58,11 @@ def set_decode_kernel(mode: str) -> None:
 
 
 def decode_kernel_enabled() -> bool:
+    import os
+
+    env = os.environ.get("VSIM_DECODE_KERNEL")  # A/B without code edits
+    if env in ("on", "off"):
+        return env == "on"
     if _MODE == "on":
         return True
     if _MODE == "off":
@@ -72,7 +82,7 @@ def _unpack4(p):
 def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
             knq_ref, kns_ref, vnq_ref, vns_ref,
             o_ref, m_ref, l_ref, acc_ref, *, scale, ts, alibi, packed4,
-            fresh):
+            fresh, split4):
     """``fresh=True`` (the deferred-write ragged decode path): the cache
     holds only rows < n_past — this step's OWN token arrives pre-quantized
     as knq/kns/vnq/vns [B, H, Dp]/[B, H] and is merged into the online
@@ -94,8 +104,6 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
     def live():
         q = q_ref[0].astype(jnp.float32)  # [H, D]
-        kq = (_unpack4(kq_ref[0, 0]) if packed4
-              else kq_ref[0, 0].astype(jnp.float32))  # [H, ts, D]
         ks = ks_ref[0, 0].astype(jnp.float32)  # [H, ts]
         # dequant fused: scores[h, s] = scale * sum_d q[h,d] * kq[h,s,d]*ks
         # (scale the [H, ts] dot output by ks instead of the [H, ts, D]
@@ -103,9 +111,34 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         # as an H-batched matvec: the VPU mul+reduce form was the B=128
         # decode wall (kernel measured 168 GB/s ≈ 7 VPU ops per KV element;
         # r4) — the MXU does the 2 ops/elem of the dot for free.
-        s = jax.lax.dot_general(
-            q[:, None, :], kq, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)[:, 0, :] * ks * scale
+        if split4:
+            # Sub-128 packed minor dim (pythia-12b int4: Dp = 64): the
+            # lane-axis concat in _unpack4 relayouts the whole [H, ts, 2Dp]
+            # tile and ran at 125 GB/s vs 694 for the same shape at int8
+            # (tools/attn_gate_probe.py r5).  Instead dot each nibble PLANE
+            # against the matching static half of q — no big-array concat;
+            # the two plane dots pad lanes Dp->128 on the MXU, which costs
+            # the same passes as one 2Dp-wide dot.
+            kp = kq_ref[0, 0].astype(jnp.int32)  # [H, ts, Dp]
+            Dp = kp.shape[-1]  # noqa: N806
+            klo = ((kp & 0x0F) - 8).astype(jnp.float32)
+            khi = ((kp >> 4) - 8).astype(jnp.float32)
+            dn = (((2,), (2,)), ((0,), (0,)))
+            q_lo = jax.lax.slice_in_dim(q, 0, Dp, axis=1)[:, None, :]
+            q_hi = jax.lax.slice_in_dim(q, Dp, 2 * Dp, axis=1)[:, None, :]
+            s = (jax.lax.dot_general(
+                    q_lo, klo, dn,
+                    preferred_element_type=jnp.float32)[:, 0, :]
+                 + jax.lax.dot_general(
+                    q_hi, khi, dn,
+                    preferred_element_type=jnp.float32)[:, 0, :]) \
+                * ks * scale
+        else:
+            kq = (_unpack4(kq_ref[0, 0]) if packed4
+                  else kq_ref[0, 0].astype(jnp.float32))  # [H, ts, D]
+            s = jax.lax.dot_general(
+                q[:, None, :], kq, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :] * ks * scale
 
         H = s.shape[0]  # noqa: N806
         s_idx = j * ts + jax.lax.broadcasted_iota(jnp.int32, (H, ts), 1)
@@ -130,12 +163,27 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
                                                         keepdims=True)
         m_ref[:, 0:1] = m_new
 
-        vq = (_unpack4(vq_ref[0, 0]) if packed4
-              else vq_ref[0, 0].astype(jnp.float32))  # [H, ts, D]
         vs = vs_ref[0, 0].astype(jnp.float32)  # [H, ts]
-        pv = jax.lax.dot_general(
-            (p * vs)[:, None, :], vq, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)[:, 0, :]  # [H, D]
+        if split4:
+            pw = (p * vs)[:, None, :]
+            vp = vq_ref[0, 0].astype(jnp.int32)  # [H, ts, Dp]
+            vlo = ((vp & 0x0F) - 8).astype(jnp.float32)
+            vhi = ((vp >> 4) - 8).astype(jnp.float32)
+            dn = (((2,), (1,)), ((0,), (0,)))
+            pv = jnp.concatenate([
+                jax.lax.dot_general(
+                    pw, vlo, dn,
+                    preferred_element_type=jnp.float32)[:, 0, :],
+                jax.lax.dot_general(
+                    pw, vhi, dn,
+                    preferred_element_type=jnp.float32)[:, 0, :],
+            ], axis=-1)  # [H, D] — concat of SMALL per-step outputs only
+        else:
+            vq = (_unpack4(vq_ref[0, 0]) if packed4
+                  else vq_ref[0, 0].astype(jnp.float32))  # [H, ts, D]
+            pv = jax.lax.dot_general(
+                (p * vs)[:, None, :], vq, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)[:, 0, :]  # [H, D]
         acc_ref[:] = acc_ref[:] * alpha + pv
 
     # skip tiles fully beyond this sequence's horizon
@@ -151,7 +199,9 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
             # merge this step's own token, dequantized through the SAME
             # round trip the cache write applies (bit-parity with the
             # write-then-attend order)
-            kd = (_unpack4(knq_ref[0][:, None, :])[:, 0, :] if packed4
+            # 2D unpack: the old [:, None, :] round trip through 3D is an
+            # "unsupported shape cast" in Mosaic at sub-128 Dp (r5)
+            kd = (_unpack4(knq_ref[0]) if packed4
                   else knq_ref[0].astype(jnp.float32))  # [H, D]
             kss = kns_ref[0].astype(jnp.float32)  # [H, 1]
             q = q_ref[0].astype(jnp.float32)
@@ -164,7 +214,7 @@ def _kernel(il_ref, np_ref, sl_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
             a = jnp.where(m == _NEG_INF, 0.0, a)
             p_new = jnp.exp(s_new - m2)
             l = a * l + p_new
-            vd = (_unpack4(vnq_ref[0][:, None, :])[:, 0, :] if packed4
+            vd = (_unpack4(vnq_ref[0]) if packed4
                   else vnq_ref[0].astype(jnp.float32))
             vss = vns_ref[0].astype(jnp.float32)
             acc = acc * a + p_new * vss * vd
@@ -227,9 +277,12 @@ def _decode_attn_call(
         jc = jnp.minimum(j, np_[b] // ts)
         return (il[0], b, 0, jc)
 
+    import os
+    split4 = (packed4 and Dp < 128
+              and not os.environ.get("VSIM_NO_SPLIT4"))  # A/B knob
     return pl.pallas_call(
         functools.partial(_kernel, scale=scale, ts=ts, alibi=alibi,
-                          packed4=packed4, fresh=fresh),
+                          packed4=packed4, fresh=fresh, split4=split4),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # il, n_past
             grid=grid,
@@ -328,10 +381,11 @@ def _writer_kernel(np_ref, knq_ref, kns_ref, vnq_ref, vns_ref,
     r8 = np_b % 8
     i8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
     hit8 = jnp.logical_and(i8 == r8, valid)
-    kqo_ref[0, 0] = jnp.where(hit8, knq_ref[0, 0][:, None, :],
-                              kqw_ref[0, 0])
-    vqo_ref[0, 0] = jnp.where(hit8, vnq_ref[0, 0][:, None, :],
-                              vqw_ref[0, 0])
+    # rows arrive as [H, 1, Dp] blocks (5D operands): an in-kernel
+    # [:, None, :] expand of a [H, Dp] block is an "unsupported shape cast"
+    # in Mosaic at sub-128 Dp (pythia-12b int4, r5)
+    kqo_ref[0, 0] = jnp.where(hit8, knq_ref[0, 0], kqw_ref[0, 0])
+    vqo_ref[0, 0] = jnp.where(hit8, vnq_ref[0, 0], vqw_ref[0, 0])
     rts = np_b % ts
     its = jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
     hit_ts = jnp.logical_and(its == rts, valid)
@@ -353,15 +407,16 @@ def _scatter_rows_call(n_past, k_q, k_s, v_q, v_s, knq, kns, vnq, vns,
         return (l, b, 0, jnp.minimum(np_[b] // ts, S // ts - 1))
 
     row_ix = lambda l, b, np_: (l, b, 0, 0)  # noqa: E731
+    row_ix5 = lambda l, b, np_: (l, b, 0, 0, 0)  # noqa: E731
     outs = pl.pallas_call(
         functools.partial(_writer_kernel, S=S, ts=ts),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # n_past
             grid=(L, B),
             in_specs=[
-                pl.BlockSpec((1, 1, H, Dp), row_ix),
+                pl.BlockSpec((1, 1, H, 1, Dp), row_ix5),
                 pl.BlockSpec((1, 1, H, 1), row_ix),
-                pl.BlockSpec((1, 1, H, Dp), row_ix),
+                pl.BlockSpec((1, 1, H, 1, Dp), row_ix5),
                 pl.BlockSpec((1, 1, H, 1), row_ix),
                 pl.BlockSpec((1, 1, H, 8, Dp), w8_ix),
                 pl.BlockSpec((1, 1, H, ts), ws_ix),
@@ -388,7 +443,8 @@ def _scatter_rows_call(n_past, k_q, k_s, v_q, v_s, knq, kns, vnq, vns,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(n_past, knq, kns, vnq, vns, k_q, k_s, v_q, v_s)
+    )(n_past, knq.reshape(L, B, H, 1, Dp), kns,
+      vnq.reshape(L, B, H, 1, Dp), vns, k_q, k_s, v_q, v_s)
     return outs
 
 

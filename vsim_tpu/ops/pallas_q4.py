@@ -337,7 +337,7 @@ def _kernel_ps_gi_bias(x_ref, p_ref, s_ref, b_ref, o_ref, *,
 
 
 def _kernel_ps_giw(x_ref, p_ref, slo_ref, shi_ref, b_ref, o_ref, *,
-                   block_kh, half_k, n, ochunk, has_bias):
+                   block_kh, half_k, n, ochunk, has_bias, kchunk=None):
     """Grouped-integer kernel with the OUTPUT resident and a pure k-grid:
     the packed tile is a [block_kh, O] full-width row band — ONE contiguous
     HBM read per grid step (the 2D o×k grid's [256, bo] tiles are 256
@@ -345,7 +345,14 @@ def _kernel_ps_giw(x_ref, p_ref, slo_ref, shi_ref, b_ref, o_ref, *,
     ~900 GB/s vs ~620 strided).  The dequant+dot runs in o-chunks of
     ``ochunk`` inside the kernel so VMEM temporaries stay bounded while the
     DMA tile is wide.  Output [N, O] (f32, <= 512 KB at decode shapes)
-    lives in VMEM across all k steps and is written back once."""
+    lives in VMEM across all k steps and is written back once.
+
+    ``kchunk`` splits the BD dot along the contraction: the gi math costs
+    G x MXU flops (groups are 32 wide vs the MXU's 128 contraction), so a
+    [block_kh=256]-band single dot runs at 8x plain flops; two 128-deep
+    dots (kchunk=128) halve that to the 4x floor while keeping full
+    contraction depth — the difference between MXU-bound and DMA-bound at
+    batch n = 16-32 (r5 batch campaign; n <= 8 is DMA-bound either way)."""
     k_step = pl.program_id(0)
 
     @pl.when(k_step == 0)
@@ -356,45 +363,62 @@ def _kernel_ps_giw(x_ref, p_ref, slo_ref, shi_ref, b_ref, o_ref, *,
         else:
             o_ref[:] = jnp.zeros_like(o_ref)
 
-    G = block_kh // QK
-    xlo = x_ref[:, pl.ds(k_step * block_kh, block_kh)]
-    xhi = x_ref[:, pl.ds(half_k + k_step * block_kh, block_kh)]
-    c_grp = jax.lax.broadcasted_iota(jnp.int32, (G, block_kh), 1) // QK
-    g_ids = jax.lax.broadcasted_iota(jnp.int32, (G, block_kh), 0)
+    kc = kchunk or block_kh
+    nsub = block_kh // kc
+    g = kc // QK  # groups per sub-chunk
+    c_grp = jax.lax.broadcasted_iota(jnp.int32, (g, kc), 1) // QK
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (g, kc), 0)
     maskf = jnp.maximum(1 - jnp.abs(c_grp - g_ids), 0).astype(
         jnp.float32).astype(jnp.bfloat16)
 
-    pad = max(0, 8 - n * G)  # keep Xbd at >= 8 sublanes (G=4 tiles)
+    pad = max(0, 8 - n * g)  # keep Xbd at >= 8 sublanes
 
     def bd(x):
         rows = [maskf * x[i:i + 1, :].astype(jnp.bfloat16) for i in range(n)]
         if pad:
-            rows.append(jnp.zeros((pad, block_kh), jnp.bfloat16))
+            rows.append(jnp.zeros((pad, kc), jnp.bfloat16))
         return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
-    xbd_lo, xbd_hi = bd(xlo), bd(xhi)
-    xs_lo = jnp.sum(xbd_lo.astype(jnp.float32), axis=1, keepdims=True)
-    xs_hi = jnp.sum(xbd_hi.astype(jnp.float32), axis=1, keepdims=True)
+    subs = []  # per sub-chunk: (xbd_lo, xbd_hi, xs_lo, xs_hi)
+    for c in range(nsub):
+        xlo = x_ref[:, pl.ds(k_step * block_kh + c * kc, kc)]
+        xhi = x_ref[:, pl.ds(half_k + k_step * block_kh + c * kc, kc)]
+        xbd_lo, xbd_hi = bd(xlo), bd(xhi)
+        subs.append((xbd_lo, xbd_hi,
+                     jnp.sum(xbd_lo.astype(jnp.float32), axis=1,
+                             keepdims=True),
+                     jnp.sum(xbd_hi.astype(jnp.float32), axis=1,
+                             keepdims=True)))
     O = p_ref.shape[1]  # noqa: N806
     for j in range(O // ochunk):
-        p = p_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.int32)
-        vlo = (p & 0x0F).astype(jnp.bfloat16)
-        vhi = (p >> 4).astype(jnp.bfloat16)
-        part_lo = jnp.dot(xbd_lo, vlo, preferred_element_type=jnp.float32)
-        part_hi = jnp.dot(xbd_hi, vhi, preferred_element_type=jnp.float32)
-        s_lo = slo_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.float32)
-        s_hi = shi_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.float32)
-        o_ref[:, pl.ds(j * ochunk, ochunk)] += _gi_rescale(
-            part_lo[:n * G], part_hi[:n * G], xs_lo[:n * G], xs_hi[:n * G],
-            s_lo, s_hi, G, n, ochunk)
+        acc = None
+        s_lo_all = slo_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.float32)
+        s_hi_all = shi_ref[:, pl.ds(j * ochunk, ochunk)].astype(jnp.float32)
+        for c in range(nsub):
+            p = p_ref[pl.ds(c * kc, kc),
+                      pl.ds(j * ochunk, ochunk)].astype(jnp.int32)
+            vlo = (p & 0x0F).astype(jnp.bfloat16)
+            vhi = (p >> 4).astype(jnp.bfloat16)
+            xbd_lo, xbd_hi, xs_lo, xs_hi = subs[c]
+            part_lo = jnp.dot(xbd_lo, vlo,
+                              preferred_element_type=jnp.float32)
+            part_hi = jnp.dot(xbd_hi, vhi,
+                              preferred_element_type=jnp.float32)
+            r = _gi_rescale(
+                part_lo[:n * g], part_hi[:n * g], xs_lo[:n * g],
+                xs_hi[:n * g], s_lo_all[c * g:(c + 1) * g],
+                s_hi_all[c * g:(c + 1) * g], g, n, ochunk)
+            acc = r if acc is None else acc + r
+        o_ref[:, pl.ds(j * ochunk, ochunk)] += acc
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_kh", "ochunk", "interpret", "has_bias"),
+    static_argnames=("block_kh", "ochunk", "interpret", "has_bias",
+                     "kchunk"),
 )
 def _pallas_q4_matmul_ps_giw(
-    x: jnp.ndarray,  # [N, K] raw activations, N <= 8
+    x: jnp.ndarray,  # [N, K] raw activations, N <= 32
     packed: jnp.ndarray,  # [K/2, O] uint8, plane-split
     scales: jnp.ndarray,  # [K/32(+pad), O]
     bias,  # [1, O] f32 or None
@@ -403,6 +427,7 @@ def _pallas_q4_matmul_ps_giw(
     ochunk: int,
     interpret: bool,
     has_bias: bool,
+    kchunk: int | None = None,
 ) -> jnp.ndarray:
     N, K = x.shape
     half_k = K // 2
@@ -436,7 +461,8 @@ def _pallas_q4_matmul_ps_giw(
           pltpu.CompilerParams(dimension_semantics=("arbitrary",)))
     return pl.pallas_call(
         functools.partial(_kernel_ps_giw, block_kh=block_kh, half_k=half_k,
-                          n=N, ochunk=ochunk, has_bias=has_bias),
+                          n=N, ochunk=ochunk, has_bias=has_bias,
+                          kchunk=kchunk),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((N, O), lambda k: (0, 0),
